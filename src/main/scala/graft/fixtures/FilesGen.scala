@@ -39,9 +39,13 @@ object FilesGen {
   private val domainPool = Vector(
     "docs.example.org", "api.acme.io", "wiki.sample.net", "repo.code.dev"
   )
+  // variants split in two difficulty tiers: case/trailing-dot variants
+  // normalize away (exact-norm linking); "www."-prefixed ones survive
+  // normalization and require fuzzy (MinHash-LSH) linking.
   private val domainVariants: Map[String, Vector[String]] = Map(
-    "docs.example.org" -> Vector("docs.example.org", "Docs.Example.Org", "docs.example.org."),
-    "api.acme.io" -> Vector("api.acme.io", "API.ACME.IO"),
+    "docs.example.org" -> Vector("docs.example.org", "Docs.Example.Org",
+      "docs.example.org.", "www.docs.example.org"),
+    "api.acme.io" -> Vector("api.acme.io", "API.ACME.IO", "www.api.acme.io"),
     "wiki.sample.net" -> Vector("wiki.sample.net", "wiki.Sample.net."),
     "repo.code.dev" -> Vector("repo.code.dev")
   )
@@ -122,8 +126,11 @@ object FilesGen {
     }
     def refLine(prefix: String): Unit = {
       val (work, author) = pick(rnd, referencePool)
-      // case variant: sometimes lowercase the work title
-      val w = if (rnd.nextBoolean()) work else work.toLowerCase
+      // surface variants: lowercase (exact-norm tier) and dropped
+      // leading article (fuzzy/LSH tier)
+      val w0 = if (rnd.nextBoolean()) work else work.toLowerCase
+      val w = if (w0.toLowerCase.startsWith("the ") && rnd.nextBoolean())
+        w0.substring(4) else w0
       sb.append(s"$prefix based on $w by $author\n")
     }
     def questionLine(prefix: String): Unit =

@@ -1,0 +1,45 @@
+package graft.link
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling for joins whose RIGHT side is unique per key
+  * and whose LEFT side is Zipf-skewed on the key (hub entities: popular
+  * repos/langs/domains — north rule: "salted keys for skewed entities").
+  *
+  * Strategy: detect hot keys with one cheap map-side-combined
+  * aggregation (collected — the hot set is tiny by definition), then
+  * split —
+  *  - hot slice: the right rows for hot keys (unique per key × few hot
+  *    keys) broadcast, so the skewed rows join with NO shuffle;
+  *  - cold slice: normal shuffle join, now skew-free.
+  *
+  * Deterministic and independent of AQE's runtime skew split (which we
+  * also leave enabled); unlike blind salting it does not inflate the
+  * shuffle S-fold for the 99% of keys that are cold.
+  */
+object SkewJoin {
+
+  /** Max hot keys we special-case; beyond this, fall back to the plain
+    * join and let AQE handle it (a hot set this large means the skew
+    * threshold was set too low, not that the data has 4096 hubs).
+    */
+  val MaxHotKeys = 4096
+
+  /** left ⋈ right on `key`; `right` MUST be unique per key. */
+  def joinUniqueRight(left: DataFrame, right: DataFrame, key: String,
+                      hotThreshold: Long = 100000L): DataFrame = {
+    val hotKeys = left.groupBy(key).count()
+      .filter(col("count") > hotThreshold)
+      .select(key).limit(MaxHotKeys + 1).collect().map(_.get(0))
+    if (hotKeys.isEmpty || hotKeys.length > MaxHotKeys) {
+      left.join(right, Seq(key))
+    } else {
+      val isHot = col(key).isin(hotKeys.toSeq: _*)
+      val rightHot = right.filter(isHot)
+      val hotJoined = left.filter(isHot).join(broadcast(rightHot), Seq(key))
+      val coldJoined = left.filter(!isHot).join(right, Seq(key))
+      coldJoined.unionByName(hotJoined)
+    }
+  }
+}

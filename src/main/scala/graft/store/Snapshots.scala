@@ -1,0 +1,100 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+/** Iceberg-emulation snapshot store (SURVEY.md §7.4: no iceberg jar in
+  * /opt/spark/jars, so snapshots/manifests/atomic publish are
+  * hand-rolled but minimal).
+  *
+  * Layout: <runDir>/stage=<name>/  parquet files + _MANIFEST.json
+  *
+  * Publish protocol: data first, manifest LAST via write-to-temp +
+  * atomic rename. A stage directory without _MANIFEST.json is
+  * incomplete and gets re-run — this is exactly the reference's
+  * de-facto checkpoint semantics (each completed document is already
+  * on disk, /root/reference/python.py:733-740) lifted from per-file to
+  * per-stage granularity, which is what makes `resume ≡ fresh run`
+  * testable (FIXTURES.md §5).
+  *
+  * The manifest carries per-output-file row counts (per-partition
+  * lineage) plus caller metrics — the analog of the reference's
+  * ProcessingTimer phases and output metadata dict
+  * (/root/reference/app.py:103-161).
+  */
+object Snapshots {
+
+  final case class Manifest(
+      runId: String,
+      stage: String,
+      rows: Long,
+      fileRows: Map[String, Long],
+      wallMs: Long,
+      metrics: Map[String, String]
+  )
+
+  private val ManifestName = "_MANIFEST.json"
+
+  def stageDir(runDir: String, stage: String): String =
+    s"$runDir/stage=$stage"
+
+  def isComplete(runDir: String, stage: String): Boolean =
+    Files.exists(Paths.get(stageDir(runDir, stage), ManifestName))
+
+  def read(spark: SparkSession, runDir: String, stage: String): DataFrame =
+    spark.read.parquet(stageDir(runDir, stage))
+
+  def readManifest(runDir: String, stage: String): Manifest = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    implicit val fmts: Formats = DefaultFormats
+    val p = Paths.get(stageDir(runDir, stage), ManifestName)
+    JsonMethods.parse(Files.readString(p)).extract[Manifest]
+  }
+
+  /** Compute-or-resume: if the stage is complete, read it back;
+    * otherwise evaluate `compute`, write, and publish the manifest.
+    * Returns the stage as a (re-read) DataFrame so downstream stages
+    * always consume the durable snapshot, never a live lineage.
+    */
+  def stage(spark: SparkSession, runDir: String, stageName: String,
+            runId: String, resume: Boolean = true,
+            partitionBy: Seq[String] = Nil,
+            metrics: => Map[String, String] = Map.empty)
+           (compute: => DataFrame): DataFrame = {
+    if (resume && isComplete(runDir, stageName))
+      return read(spark, runDir, stageName)
+
+    val dir = stageDir(runDir, stageName)
+    val t0 = System.nanoTime()
+    val df = compute
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+
+    // per-partition lineage: row count per produced file, computed off
+    // the durable output itself
+    val back = spark.read.parquet(dir)
+    val perFile = back
+      .groupBy(regexp_extract(input_file_name(), "([^/]+\\.parquet)", 1).as("f"))
+      .count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = perFile.values.sum
+
+    writeManifest(dir, Manifest(runId, stageName, rows, perFile, wallMs, metrics))
+    spark.read.parquet(dir)
+  }
+
+  private def writeManifest(dir: String, m: Manifest): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.{JsonMethods, Serialization}
+    implicit val fmts: Formats = DefaultFormats
+    val json = Serialization.writePretty(m)
+    val tmp: Path = Paths.get(dir, s".$ManifestName.tmp")
+    Files.writeString(tmp, json)
+    Files.move(tmp, Paths.get(dir, ManifestName),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+}

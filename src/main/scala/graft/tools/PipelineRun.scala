@@ -1,0 +1,44 @@
+package graft.tools
+
+import graft.Pipeline
+import graft.fixtures.FilesGen
+import org.apache.spark.sql.SparkSession
+
+/** spark-submit surface of the KG pipeline (SURVEY.md §3.4 lifecycle).
+  *
+  * Usage: runMain graft.tools.PipelineRun <nFiles> <runDir> [runId]
+  * Env:   SPARK_GRAFT_CPUS (local[N], default 8)
+  *
+  * Prints one summary line per run; re-running with the same runDir
+  * resumes from the last published stage.
+  */
+object PipelineRun {
+  def main(args: Array[String]): Unit = {
+    val n = args.headOption.map(_.toLong).getOrElse(5000L)
+    val runDir = args.lift(1).getOrElse(
+      java.nio.file.Files.createTempDirectory("graft-run").toString)
+    val runId = args.lift(2).getOrElse(s"run-$n")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-pipeline")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setCheckpointDir(s"$runDir/_checkpoints")
+
+    val t0 = System.nanoTime()
+    val res = Pipeline.run(spark, FilesGen.dataset(spark, n), runDir, runId)
+    val sec = (System.nanoTime() - t0) / 1e9
+    println(f"[pipeline] runId=${res.runId} files=$n triples=${res.triples} " +
+      f"quarantined=${res.quarantined} entities=${res.entities} " +
+      f"linkEdges=${res.linkEdges} nodes=${res.nodes} edges=${res.edges} " +
+      f"ccIters=${res.ccIterations} wall=${sec}%.1fs " +
+      f"triplesPerSec=${res.triples / sec}%.0f runDir=$runDir")
+    spark.stop()
+  }
+}

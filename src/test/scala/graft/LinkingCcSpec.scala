@@ -1,0 +1,83 @@
+package graft
+
+import graft.canon.ConnectedComponents
+import graft.extract.Extraction
+import graft.fixtures.FilesGen
+import graft.link.Linking
+
+class LinkingCcSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val triples = Extraction.triples(
+    Extraction.extract(FilesGen.dataset(spark, 400)))
+  private lazy val ents = Linking.entities(triples).cache()
+
+  test("entity ids are collision-free on the fixture") {
+    assert(ents.count() == ents.select("entityId").distinct().count())
+  }
+
+  /** canonical groups: entity surface form -> its component's members */
+  private lazy val groups: Map[String, Set[String]] = {
+    val links = Linking.linkEdges(ents)
+    val cc = ConnectedComponents.run(links).assignments
+      .withColumnRenamed("id", "entityId")
+    val assigned = ents.join(cc, Seq("entityId"), "left")
+      .select($"obj", org.apache.spark.sql.functions.coalesce($"comp", $"entityId").as("c"))
+      .as[(String, Long)].collect()
+    val byComp = assigned.groupBy(_._2).values
+      .map(_.map(_._1).toSet).toSeq
+    byComp.flatMap(s => s.map(_ -> s)).toMap
+  }
+
+  test("exact-norm variants unite (case, trailing dot)") {
+    assert(groups("Docs.Example.Org") == groups("docs.example.org"))
+    assert(groups("docs.example.org.") == groups("docs.example.org"))
+    assert(groups("API.ACME.IO") == groups("api.acme.io"))
+  }
+
+  test("fuzzy variants unite via LSH (www. prefix, dropped article)") {
+    assert(groups("www.docs.example.org") == groups("docs.example.org"))
+    assert(groups("www.api.acme.io") == groups("api.acme.io"))
+    assert(groups("Pragmatic Programmer by Andrew Hunt") ==
+      groups("The Pragmatic Programmer by Andrew Hunt"))
+  }
+
+  test("distinct entities stay separate") {
+    assert(groups("docs.example.org") != groups("api.acme.io"))
+    assert(groups("docs.example.org") != groups("wiki.sample.net"))
+    assert(groups("FastParse by Li Haoyi") !=
+      groups("The Pragmatic Programmer by Andrew Hunt"))
+  }
+
+  test("connected components match brute-force union-find on random graphs") {
+    for (seed <- Seq(1, 7, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200
+      val edges = (0 until 300).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter(e => e._1 != e._2)
+      // brute force
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> {
+          var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
+        }).toMap
+      val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+        .assignments.as[(Long, Long)].collect().toMap
+      assert(got == expected, s"seed=$seed")
+    }
+  }
+
+  test("cc of empty and of single-edge graphs") {
+    assert(ConnectedComponents.run(
+      Seq.empty[(Long, Long)].toDF("src", "dst")).assignments.count() == 0)
+    val one = ConnectedComponents.run(Seq((5L, 2L)).toDF("src", "dst"))
+      .assignments.as[(Long, Long)].collect().toMap
+    assert(one == Map(5L -> 2L, 2L -> 2L))
+  }
+}

@@ -1,0 +1,94 @@
+package graft
+
+import graft.fixtures.FilesGen
+import graft.store.Snapshots
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-pipe-$tag").toString
+
+  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  private val n = 400
+  private lazy val files = FilesGen.dataset(spark, n)
+
+  private def edgeSet(runDir: String): Set[(String, String, Long)] =
+    Snapshots.read(spark, runDir, "edges")
+      .select("subj", "pred", "canonicalId")
+      .as[(String, String, Long)].collect().toSet
+
+  private def nodeSet(runDir: String): Set[(Long, String, String, Long)] =
+    Snapshots.read(spark, runDir, "nodes")
+      .select("canonicalId", "canonical", "kind", "memberCount")
+      .as[(Long, String, String, Long)].collect().toSet
+
+  test("end-to-end pipeline: counts coherent, manifests complete") {
+    val dir = tmpDir("fresh")
+    val res = Pipeline.run(spark, files, dir, "run-1")
+    assert(res.triples > 0 && res.entities > 0 && res.linkEdges > 0)
+    assert(res.nodes > 0 && res.edges == res.triples,
+      "every triple must materialize as exactly one canonical edge")
+    assert(res.nodes <= res.entities, "canonicalization must not add nodes")
+    Pipeline.Stages.foreach { s =>
+      assert(Snapshots.isComplete(dir, s), s"stage $s incomplete")
+      val m = Snapshots.readManifest(dir, s)
+      assert(m.rows >= 0 && m.fileRows.values.sum == m.rows)
+    }
+    // lineage: manifest row counts match the data
+    assert(Snapshots.readManifest(dir, "edges").rows == res.edges)
+  }
+
+  test("resume after kill between stages reproduces the fresh run") {
+    val fresh = tmpDir("a")
+    val r1 = Pipeline.run(spark, files, fresh, "run-a")
+
+    // simulate a crash AFTER link_edges published but BEFORE assign's
+    // manifest: data present, manifest missing (the kill window of
+    // FIXTURES.md §5), downstream stages absent entirely
+    val crashed = tmpDir("b")
+    Pipeline.run(spark, files, crashed, "run-b")
+    Files.delete(Path.of(Snapshots.stageDir(crashed, "assign"), "_MANIFEST.json"))
+    deleteRec(Path.of(Snapshots.stageDir(crashed, "nodes")))
+    deleteRec(Path.of(Snapshots.stageDir(crashed, "edges")))
+
+    val r2 = Pipeline.run(spark, files, crashed, "run-b-resumed")
+    assert(r2.triples == r1.triples && r2.entities == r1.entities)
+    assert(edgeSet(crashed) == edgeSet(fresh))
+    assert(nodeSet(crashed) == nodeSet(fresh))
+  }
+
+  test("re-run with resume is a no-op yielding identical results") {
+    val dir = tmpDir("c")
+    val r1 = Pipeline.run(spark, files, dir, "run-c")
+    val manifestTimes = Pipeline.Stages.map(s =>
+      Files.getLastModifiedTime(
+        Path.of(Snapshots.stageDir(dir, s), "_MANIFEST.json")))
+    val r2 = Pipeline.run(spark, files, dir, "run-c2")
+    val manifestTimes2 = Pipeline.Stages.map(s =>
+      Files.getLastModifiedTime(
+        Path.of(Snapshots.stageDir(dir, s), "_MANIFEST.json")))
+    assert(manifestTimes == manifestTimes2, "resume must not rewrite stages")
+    assert(r1.copy(runId = "x", ccIterations = 0) ==
+      r2.copy(runId = "x", ccIterations = 0))
+  }
+
+  test("quarantined docs carry through: guard config quarantines and excludes") {
+    val dir = tmpDir("d")
+    val res = Pipeline.run(spark, files, dir, "run-d",
+      Pipeline.Config(extraction =
+        graft.extract.Extraction.Config(tokenLimit = 2000)))
+    assert(res.quarantined > 0)
+    val subjects = Snapshots.read(spark, dir, "edges")
+      .select("subj").distinct().as[String].collect().toSet
+    val oversize = FilesGen.local(n)
+      .filter(f => GoldenOracle.tokens(f.content) > 2000)
+      .map(f => s"${f.repo}/${f.path}").toSet
+    assert(oversize.nonEmpty && subjects.intersect(oversize).isEmpty)
+  }
+}
