@@ -2,17 +2,41 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
-  * `queries` run on the driver's testdata tables (sfDir); each has a
-  * DuckDB-oracle twin in `oracleSql` with IDENTICAL output column names
-  * (the driver sorts columns by name before hashing).
+  * `queries` run on the driver's testdata tables (sfDir); each
+  * SQL-expressible operator has a DuckDB twin in `oracleSql` with
+  * IDENTICAL output column names (the driver sorts columns by name
+  * before hashing). Non-SQL-expressible operators (seeded LSH, xxhash64
+  * SimHash, the KG pipeline) are rows-only here and golden-tested in
+  * ScalaTest instead.
+  *
+  * Cross-engine gotchas honored throughout: DuckDB CAST rounds while
+  * Spark truncates (use floor); DuckDB regexp_replace needs the 'g'
+  * flag; DuckDB len()/count() are BIGINT while Spark size() is INT
+  * (cast to long); DuckDB sum(int) is HUGEINT (cast in oracle);
+  * DuckDB list_cosine_similarity on FLOAT[] computes in float32
+  * (cast to DOUBLE[] in oracle).
   */
 object SparkEntry {
 
   private def t(dir: String, name: String)(implicit s: SparkSession): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  /** Compliance rule table (Review_Securiity_Document analog) adapted
+    * to the documents vocabulary.
+    */
+  val complianceRules: Seq[(String, String)] = Seq(
+    "\\bdup\\b" -> "duplicate_marker",
+    "\\bslow\\b" -> "slow_path",
+    "\\bvector\\b" -> "vector_mention"
+  )
+
+  /** Entity vocabulary for doc-level mention triples. */
+  val mentionVocab: Seq[String] =
+    Seq("spark", "hash", "vector", "stream", "customer")
 
   /** Flagship: the KG extraction stage over a deterministic synthetic
     * source-code corpus (BASELINE.json input_hint shape); driver
@@ -25,47 +49,308 @@ object SparkEntry {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // S5 corpus-profile analog (/root/reference/python.py:552-562):
-    // per-group count / sum / min / max / avg.
-    "profile_agg" -> ((s, dir) => {
+    // ---- sources / scans (SURVEY §2.1) ----
+    "scan_whitelist" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      t(dir, "lineitem")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          round(sum(col("l_quantity")), 4).as("sum_qty"),
-          round(min(col("l_extendedprice")), 4).as("min_price"),
-          round(max(col("l_extendedprice")), 4).as("max_price"),
-          round(avg(col("l_discount")), 6).as("avg_disc")
-        )
+      t(dir, "documents").filter(col("lang").isin("en", "es", "de"))
+        .select("doc_id", "lang", "source")
     }),
-    // T9 token-count guard column (/root/reference/app.py:48-49):
-    // whitespace tokenization, words × 1.3 heuristic.
-    "text_tokens" -> ((s, dir) => {
+    "dispatch_format" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "documents")
-        .select(
-          col("doc_id"),
-          size(split(trim(col("text")), "\\s+")).as("n_tokens"),
-          floor(size(split(trim(col("text")), "\\s+")) * 1.3).cast("int")
-            .as("est_llm_tokens")
-        )
+        .withColumn("processor",
+          when(col("lang").isin("en", "es", "de", "fr"), "latin")
+            .when(col("lang") === "zh", "cjk")
+            .otherwise("other"))
+        .groupBy("processor").agg(count(lit(1)).as("n_docs"))
+    }),
+    "size_cap_route" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(col("doc_id"),
+        when(col("n_chars") > 400, "quarantine").otherwise("ok").as("route"))
+    }),
+    // ---- text ops (SURVEY §2.2/§2.4 + training-data ops) ----
+    "text_tokens" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.tokenStats(t(dir, "documents"))
+        .select(col("doc_id"), col("n_tokens").cast("long"),
+          col("est_llm_tokens").cast("long"))
+    }),
+    "normalize_fp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.fingerprint(t(dir, "documents"))
+        .select(col("doc_id"), col("fp"), col("norm_len").cast("long"))
+    }),
+    "quality_score" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.qualityScore(t(dir, "documents"))
+        .select(col("doc_id"), col("n_words").cast("long"),
+          col("n_distinct_words").cast("long"), col("ttr"),
+          col("avg_word_len"))
+    }),
+    "lang_id" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.langIdHeuristic(t(dir, "documents"))
+        .select(col("doc_id"), col("n_the").cast("long"),
+          col("n_a").cast("long"), col("predicted_lang"))
+    }),
+    "micro_summary" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.microSummary(t(dir, "documents"), 10)
+    }),
+    "tier_classify" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.tierClassify(t(dir, "documents"))
+        .select(col("doc_id"), col("n_ideas").cast("long"), col("tier"))
+    }),
+    "distinct_words" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.distinctWords(t(dir, "documents"))
+    }),
+    "top_words" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.topWordsPerDoc(t(dir, "documents"), 3)
+        .select(col("doc_id"), col("word"), col("n"),
+          col("rank").cast("long"))
+    }),
+    "compliance_scan" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.complianceScan(t(dir, "documents"), complianceRules)
+    }),
+    "kg_mentions" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.distinctWords(t(dir, "documents"))
+        .filter(col("word").isin(mentionVocab: _*))
+        .select(col("doc_id"), lit("mentions").as("pred"),
+          col("word").as("obj"))
+    }),
+    // ---- relational (SURVEY §2.1 S5 + joins/windows the KG stages use) ----
+    "profile_agg" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Relational.profileAgg(t(dir, "lineitem"))
+    }),
+    "revenue_by_nation" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Relational.revenueByNation(t(dir, "lineitem"), t(dir, "supplier"),
+        t(dir, "nation"))
+    }),
+    "top_orders" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Relational.topOrdersPerPriority(t(dir, "orders"), 5)
+        .select(col("o_orderpriority"), col("rank").cast("long"),
+          col("o_orderkey"), col("o_totalprice"))
+    }),
+    "customers_without_orders" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Relational.customersWithoutOrders(t(dir, "customer"), t(dir, "orders"))
+    }),
+    "events_daily" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Relational.eventsDailyPivot(t(dir, "events"),
+        Seq("click", "view", "purchase", "signup", "error"))
+        .select(col("day"), col("n_click").cast("long"),
+          col("n_view").cast("long"), col("n_purchase").cast("long"),
+          col("n_signup").cast("long"), col("n_error").cast("long"),
+          col("sum_value"))
+    }),
+    "sessionize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Relational.sessionize(t(dir, "events"), 1800L)
+        .select(col("event_id"), col("user_id"),
+          col("session_seq").cast("long"))
+    }),
+    // ---- dedup (training-data ops) ----
+    "dedup_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.exactSurvivors(t(dir, "documents"))
+    }),
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.ngramJaccardPairs(t(dir, "documents"), n = 3, minJ = 0.5)
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.simhashPairs(t(dir, "documents"), maxHamming = 3)
+    }),
+    "dedup_minhash" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashPairs(t(dir, "documents"), n = 3, maxDist = 0.5)
+    }),
+    // ---- similarity search (training-data ops) ----
+    "cos_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val embs = t(dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.cosineTopK(embs, q, 10)
+    }),
+    "cos_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Similarity.cosineNearDupPairs(
+        t(dir, "embeddings").filter(col("vec_id") < 100), 0.35)
+    }),
+    "lsh_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val embs = t(dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.lshTopK(embs, q, 10)
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "scan_whitelist" ->
+      "SELECT doc_id, lang, source FROM documents WHERE lang IN ('en','es','de')",
+    "dispatch_format" ->
+      """SELECT CASE WHEN lang IN ('en','es','de','fr') THEN 'latin'
+        |  WHEN lang = 'zh' THEN 'cjk' ELSE 'other' END AS processor,
+        |  count(*) AS n_docs
+        |FROM documents GROUP BY 1""".stripMargin,
+    "size_cap_route" ->
+      """SELECT doc_id, CASE WHEN n_chars > 400 THEN 'quarantine'
+        |  ELSE 'ok' END AS route FROM documents""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+        |  CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) * 1.3) AS BIGINT) AS est_llm_tokens
+        |FROM documents""".stripMargin,
+    "normalize_fp" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+        |  length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS norm_len
+        |FROM documents""".stripMargin,
+    "quality_score" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws,
+        |    length(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS nlen
+        |  FROM documents)
+        |SELECT doc_id, len(ws) AS n_words,
+        |  len(list_distinct(ws)) AS n_distinct_words,
+        |  round(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws), 6) AS ttr,
+        |  round(CAST(nlen - (len(ws) - 1) AS DOUBLE) / len(ws), 6) AS avg_word_len
+        |FROM w""".stripMargin,
+    "lang_id" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '\bthe\b')) AS n_the,
+        |  len(regexp_extract_all(text, '\ba\b')) AS n_a,
+        |  CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
+        |    WHEN len(regexp_extract_all(text, '\ba\b')) >= 2 THEN 'en_weak'
+        |    ELSE 'und' END AS predicted_lang
+        |FROM documents""".stripMargin,
+    "micro_summary" ->
+      """SELECT doc_id,
+        |  array_to_string(regexp_split_to_array(trim(text), '\s+')[1:10], ' ') AS summary
+        |FROM documents""".stripMargin,
+    "tier_classify" ->
+      """WITH w AS (SELECT doc_id,
+        |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_ideas
+        |  FROM documents)
+        |SELECT doc_id, n_ideas,
+        |  CASE WHEN n_ideas >= 18 THEN 'S' WHEN n_ideas >= 15 THEN 'A'
+        |    WHEN n_ideas >= 12 THEN 'B' WHEN n_ideas >= 10 THEN 'C'
+        |    ELSE 'D' END AS tier
+        |FROM w""".stripMargin,
+    "distinct_words" ->
+      """SELECT doc_id, word FROM (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+        |  FROM documents) WHERE length(word) > 0""".stripMargin,
+    "top_words" ->
+      """WITH c AS (
+        |  SELECT doc_id, word, count(*) AS n FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents) WHERE length(word) > 0 GROUP BY 1, 2)
+        |SELECT doc_id, word, n, rank FROM (
+        |  SELECT doc_id, word, n, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY n DESC, word ASC) AS rank
+        |  FROM c) WHERE rank <= 3""".stripMargin,
+    "compliance_scan" ->
+      """SELECT doc_id, issue FROM documents
+        |CROSS JOIN (VALUES ('\bdup\b', 'duplicate_marker'),
+        |  ('\bslow\b', 'slow_path'),
+        |  ('\bvector\b', 'vector_mention')) AS rules(pattern, issue)
+        |WHERE regexp_matches(text, pattern)""".stripMargin,
+    "kg_mentions" ->
+      """SELECT doc_id, 'mentions' AS pred, word AS obj FROM (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+        |  FROM documents)
+        |WHERE word IN ('spark','hash','vector','stream','customer')""".stripMargin,
     "profile_agg" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  count(*) AS n_rows,
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
         |  round(sum(l_quantity), 4) AS sum_qty,
         |  round(min(l_extendedprice), 4) AS min_price,
         |  round(max(l_extendedprice), 4) AS max_price,
         |  round(avg(l_discount), 6) AS avg_disc
         |FROM lineitem GROUP BY 1, 2""".stripMargin,
-    "text_tokens" ->
-      """SELECT doc_id,
-        |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
-        |  CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) * 1.3) AS INT) AS est_llm_tokens
-        |FROM documents""".stripMargin
+    "revenue_by_nation" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+    "top_orders" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (
+        |    PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+        |  FROM orders) WHERE rank <= 5""".stripMargin,
+    "customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "events_daily" ->
+      """SELECT CAST(ts AS DATE) AS day,
+        |  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (WHERE event_type = 'error') AS n_error,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "sessionize" ->
+      """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
+        |  SELECT event_id, user_id, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        THEN 1
+        |        WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM events))""".stripMargin,
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id FROM (
+        |  SELECT doc_id, md5(text) AS fp FROM documents) GROUP BY fp""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+    "cos_topk" ->
+      """SELECT vec_id, round(list_cosine_similarity(
+        |    CAST(embedding AS DOUBLE[]),
+        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
+        |FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "cos_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE a.vec_id < 100 AND b.vec_id < 100
+        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |    CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin
   )
 }

@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational operators from the reference's inventory (SURVEY.md §2)
+  * over star-schema tables: the Excel profile aggregate (S5), joins,
+  * windows, anti-joins, pivots, sessionization.
+  */
+object Relational {
+
+  /** S5 corpus-profile: per-group count/sum/min/max/avg
+    * (/root/reference/python.py:552-562 numeric describe).
+    */
+  def profileAgg(lineitem: DataFrame): DataFrame =
+    lineitem.groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        round(sum(col("l_quantity")), 4).as("sum_qty"),
+        round(min(col("l_extendedprice")), 4).as("min_price"),
+        round(max(col("l_extendedprice")), 4).as("max_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"))
+
+  /** Revenue per nation: big-side lineitem joins BROADCAST dims
+    * (supplier, nation) — the dimension tables are tiny at any scale.
+    */
+  def revenueByNation(lineitem: DataFrame, supplier: DataFrame,
+                      nation: DataFrame): DataFrame =
+    lineitem
+      .join(broadcast(supplier), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        .as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Top-k rows per group with deterministic tie-break (the bounded
+    * list cap of the extraction templates, as a window).
+    */
+  def topOrdersPerPriority(orders: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    orders.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+  }
+
+  /** Customers with no orders — anti join (NOT EXISTS). */
+  def customersWithoutOrders(customer: DataFrame,
+                             orders: DataFrame): DataFrame =
+    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+
+  /** Daily event pivot: conditional aggregation per event type
+    * (the create_graph_from_input tabular family,
+    * /root/reference/Demo_Prompts/create_graph_from_input/system.md).
+    */
+  def eventsDailyPivot(events: DataFrame,
+                       types: Seq[String]): DataFrame = {
+    val perType = types.map(t =>
+      sum(when(col("event_type") === t, 1).otherwise(0)).as(s"n_$t"))
+    val aggs = perType :+ round(sum(col("value")), 4).as("sum_value")
+    events.groupBy(to_date(col("ts")).as("day"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Sessionization: per-user session ids from inactivity gaps —
+    * lag + cumulative sum windows (no custom state needed in batch).
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val prevTs = lag(col("ts"), 1).over(byUser)
+    val isNew = when(prevTs.isNull, 1)
+      .when(unix_timestamp(col("ts")) - unix_timestamp(prevTs) > gapSeconds, 1)
+      .otherwise(0)
+    events
+      .withColumn("session_seq",
+        sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+      .select("event_id", "user_id", "session_seq")
+  }
+}

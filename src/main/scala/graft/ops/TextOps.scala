@@ -1,0 +1,135 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over a document table (id column + text
+  * column). These generalize the reference's prompt families
+  * (SURVEY.md §2.4) to arbitrary document DataFrames and add the
+  * text-quality operators a large-scale training-data pipeline needs.
+  *
+  * All pure column expressions (whole-stage codegen, no UDFs); every
+  * operator is embarrassingly parallel except the per-doc windows,
+  * which partition by document id.
+  */
+object TextOps {
+
+  private def words(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Whitespace token count + the reference's words×1.3 LLM-token
+    * estimate (/root/reference/app.py:48-49).
+    */
+  def tokenStats(docs: DataFrame, id: String = "doc_id",
+                 text: String = "text"): DataFrame =
+    docs.select(col(id),
+      size(words(col(text))).as("n_tokens"),
+      floor(size(words(col(text))) * 1.3).cast("int").as("est_llm_tokens"))
+
+  /** Normalization + content fingerprint (clean_text family,
+    * /root/reference/Demo_Prompts/clean_text/system.md: normalize
+    * formatting, preserve content — the md5 is the preservation check).
+    */
+  def fingerprint(docs: DataFrame, id: String = "doc_id",
+                  text: String = "text"): DataFrame = {
+    val norm = regexp_replace(lower(trim(col(text))), "\\s+", " ")
+    docs.select(col(id), md5(norm).as("fp"),
+      length(norm).as("norm_len"))
+  }
+
+  /** Quality scoring: token counts, type-token ratio, average word
+    * length — the rate_content analog as cheap deterministic metrics.
+    */
+  def qualityScore(docs: DataFrame, id: String = "doc_id",
+                   text: String = "text"): DataFrame = {
+    val w = words(col(text))
+    val nW = size(w)
+    val nDistinct = size(array_distinct(w))
+    val norm = regexp_replace(lower(trim(col(text))), "\\s+", " ")
+    // avg word length = non-space chars / word count
+    val nonSpace = length(norm) - (nW - lit(1))
+    docs.select(col(id),
+      nW.as("n_words"),
+      nDistinct.as("n_distinct_words"),
+      round(nDistinct.cast("double") / nW, 6).as("ttr"),
+      round(nonSpace.cast("double") / nW, 6).as("avg_word_len"))
+  }
+
+  /** Language-ID heuristic: marker-token counts → decision ladder.
+    * Deliberately simple n-gram-count shape (the real value is the
+    * operator plumbing: counts are codegen'd regexp scans, the ladder
+    * is a when-chain the optimizer folds).
+    */
+  def langIdHeuristic(docs: DataFrame, id: String = "doc_id",
+                      text: String = "text"): DataFrame = {
+    def hits(p: String): Column =
+      size(regexp_extract_all(col(text), lit(p), lit(0)))
+    val nThe = hits("\\bthe\\b")
+    val nA = hits("\\ba\\b")
+    docs.select(col(id), nThe.as("n_the"), nA.as("n_a"),
+      when(nThe >= 3, "en")
+        .when(nA >= 2, "en_weak")
+        .otherwise("und").as("predicted_lang"))
+  }
+
+  /** First-k-words micro summary
+    * (/root/reference/Demo_Prompts/create_micro_summary/system.md).
+    */
+  def microSummary(docs: DataFrame, k: Int, id: String = "doc_id",
+                   text: String = "text"): DataFrame =
+    docs.select(col(id),
+      concat_ws(" ", slice(words(col(text)), 1, k)).as("summary"))
+
+  /** label_and_rate tier ladder
+    * (/root/reference/Demo_Prompts/label_and_rate/system.md:49-57:
+    * tier by idea count ≥18 S / 15 A / 12 B / 10 C).
+    */
+  def tierClassify(docs: DataFrame, id: String = "doc_id",
+                   text: String = "text"): DataFrame = {
+    val ideas = size(array_distinct(words(col(text))))
+    docs.select(col(id), ideas.as("n_ideas"),
+      when(ideas >= 18, "S").when(ideas >= 15, "A")
+        .when(ideas >= 12, "B").when(ideas >= 10, "C")
+        .otherwise("D").as("tier"))
+  }
+
+  /** (id, word) exploded distinct — the list-extraction primitive
+    * (explode + dedup, /root/reference/Demo_Prompts/extract_domains).
+    */
+  def distinctWords(docs: DataFrame, id: String = "doc_id",
+                    text: String = "text"): DataFrame =
+    docs.select(col(id),
+      explode(array_distinct(words(col(text)))).as("word"))
+      .filter(length(col("word")) > 0)
+
+  /** Per-doc top-k most frequent words, deterministic tie-break —
+    * the bounded-list cap of extract_references (≤20 items) as a
+    * window over counts.
+    */
+  def topWordsPerDoc(docs: DataFrame, k: Int, id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = docs
+      .select(col(id), explode(words(col(text))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(id, "word").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col(id))
+      .orderBy(col("n").desc, col("word").asc)
+    counted.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Compliance review: broadcast rule table joined on regex match
+    * (/root/reference/Prompts/Review_Securiity_Document — the rule
+    * list as data, not code). Broadcast nested-loop join: |rules| regex
+    * probes per row, no shuffle of the document side.
+    */
+  def complianceScan(docs: DataFrame, rules: Seq[(String, String)],
+                     id: String = "doc_id",
+                     text: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val ruleDf = rules.toDF("pattern", "issue")
+    docs.join(broadcast(ruleDf), expr(s"rlike($text, pattern)"))
+      .select(col(id), col("issue"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Golden tests for the operators that have no DuckDB oracle (seeded
+  * LSH, xxhash64 SimHash): verified against brute-force computations
+  * over collected small-scale data instead.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sfDir("0.01")
+  private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
+  private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet").cache()
+
+  test("simhash: deterministic, equal for identical text, banding is complete for hamming<=3") {
+    val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
+    val sh2 = Dedup.simhash(docs.repartition(7)).as[(Long, Long)].collect().toMap
+    assert(sh == sh2, "simhash must be partition-invariant")
+
+    // brute-force all pairs with hamming <= 3
+    val ids = sh.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.iterator; j <- ids.iterator if i < j
+      h = java.lang.Long.bitCount(sh(i) ^ sh(j)) if h <= 3
+    } yield (i, j, h.toLong)).toSet
+    val got = Dedup.simhashPairs(docs, maxHamming = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected,
+      s"banded pairs must equal brute force; missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("minhash candidates recover high-Jaccard pairs found exactly") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.7)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "fixture should contain strong near-dups")
+    val approx = Dedup.minhashPairs(docs, n = 3, maxDist = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"minhash recall $recall too low (exact=${exact.size})")
+  }
+
+  test("cosineTo matches plain-Scala cosine") {
+    val rows = embs.limit(5).select("vec_id", "embedding")
+      .as[(Long, Seq[Float])].collect()
+    val q = rows.head._2.map(_.toDouble)
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = embs.filter($"vec_id".isin(rows.map(_._1): _*))
+      .select($"vec_id", Similarity.cosineTo($"embedding", q).as("c"))
+      .as[(Long, Double)].collect().toMap
+    rows.foreach { case (id, v) =>
+      val expected = cos(v.map(_.toDouble), q)
+      assert(math.abs(got(id) - expected) < 1e-9, s"vec $id")
+    }
+  }
+
+  test("lshTopK finds most of the true cosine top-k") {
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val exact = Similarity.cosineTopK(embs, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val approx = Similarity.lshTopK(embs, q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"lsh recall $recall too low: exact=$exact approx=$approx")
+  }
+
+  test("lshNearDupPairs agrees with exact pairs at high cosine") {
+    val subset = embs.filter($"vec_id" < 100)
+    val exact = Similarity.cosineNearDupPairs(subset, 0.35)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshNearDupPairs(subset, 0.35,
+        bucketLength = 2.0, numHashTables = 6)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(approx.subsetOf(exact) || (approx -- exact).isEmpty,
+      "lsh pairs must never report cos >= threshold for pairs below it")
+    if (exact.nonEmpty) {
+      val recall = (exact intersect approx).size.toDouble / exact.size
+      assert(recall >= 0.5, s"recall $recall exact=${exact.size} approx=${approx.size}")
+    }
+  }
+}
