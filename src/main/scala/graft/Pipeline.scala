@@ -108,19 +108,26 @@ object Pipeline {
       val withId = triples.withColumn("entityId", Linking.idCol($"pred", $"obj"))
       SkewJoin.joinUniqueRight(
           withId, assign.select($"entityId", $"canonicalId"),
-          "entityId", cfg.hotThreshold)
+          "entityId", cfg.hotThreshold,
+          leftCountHint = Some(Snapshots.readManifest(runDir, "extract").rows))
         .select($"subj", $"pred", $"canonicalId", $"conf",
           $"repo", $"path", $"commit")
     }
 
+    // counts come from the stage manifests (no recount jobs); only the
+    // quarantine split needs a scan, and partition pruning limits it to
+    // the pred=__quarantine__ directory
+    val rawRows = Snapshots.readManifest(runDir, "extract").rows
+    val quarantined =
+      raw.filter($"pred" === Extraction.QuarantinePred).count()
     Result(
       runId = runId,
-      triples = triples.count(),
-      quarantined = raw.filter($"pred" === Extraction.QuarantinePred).count(),
-      entities = ents.count(),
-      linkEdges = links.count(),
-      nodes = nodes.count(),
-      edges = edges.count(),
+      triples = rawRows - quarantined,
+      quarantined = quarantined,
+      entities = Snapshots.readManifest(runDir, "entities").rows,
+      linkEdges = Snapshots.readManifest(runDir, "link_edges").rows,
+      nodes = Snapshots.readManifest(runDir, "nodes").rows,
+      edges = Snapshots.readManifest(runDir, "edges").rows,
       ccIterations = ccIters
     )
   }

@@ -22,30 +22,53 @@ object ConnectedComponents {
 
   final case class Result(assignments: DataFrame, iterations: Int)
 
+  /** Link graphs below this edge count are solved with a driver-side
+    * union-find instead of the iterative star joins: the alternating
+    * algorithm costs a handful of shuffle rounds regardless of size,
+    * which is pure overhead when the edge set fits in a few hundred MB
+    * on the driver (the same small-side reasoning AQE applies to
+    * broadcast joins). Both paths produce identical assignments
+    * (comp = min node id of the component).
+    */
+  val LocalEdgeThreshold = 10000000L
+
   /** edges: (src: Long, dst: Long). Returns (id, comp) for every node
     * that appears in `edges`, comp = min node id of its component.
     */
   def run(edges0: DataFrame, hotThreshold: Long = 100000L,
-          maxIter: Int = 50, checkpointEvery: Int = 3): Result = {
+          maxIter: Int = 50, checkpointEvery: Int = 3,
+          localThreshold: Long = LocalEdgeThreshold): Result = {
     val spark = edges0.sparkSession
 
     var e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     var prevSig = signature(e)
+    var edgeCount = prevSig._1
+
+    if (edgeCount <= localThreshold) {
+      val result = runLocal(e)
+      e.unpersist(false)
+      return result
+    }
     var iter = 0
     var converged = false
     val retained = scala.collection.mutable.Buffer[DataFrame](e)
 
     while (!converged && iter < maxIter) {
       iter += 1
-      val ls = largeStar(e, hotThreshold)
-      var next = smallStar(ls, hotThreshold)
+      // the symmetric view is at most 2x the edge set — a safe upper
+      // bound for the skew-detection skip decision
+      val ls = largeStar(e, hotThreshold, Some(2L * edgeCount))
+      // largeStar emits at most one row per symmetric edge, so the
+      // same bound holds for smallStar's input
+      var next = smallStar(ls, hotThreshold, Some(2L * edgeCount))
       if (iter % checkpointEvery == 0) next = next.checkpoint()
       else next = next.persist(StorageLevel.MEMORY_AND_DISK)
       val sig = signature(next)
       converged = sig == prevSig
       prevSig = sig
+      edgeCount = sig._1
       retained += next
       e = next
       // free all but the current iteration's cache
@@ -58,6 +81,30 @@ object ConnectedComponents {
       .unionByName(e.select(col("dst").as("id"), col("dst").as("comp")))
       .distinct()
     Result(assignments, iter)
+  }
+
+  /** Small-graph fast path: union-find on the driver with min-id
+    * roots — semantically identical to the distributed fixpoint.
+    */
+  private def runLocal(e: DataFrame): Result = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val edges = e.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.iterator.flatMap(t => Iterator(t._1, t._2)).toSet
+    val assigns = nodes.iterator.map(v => (v, find(v))).toSeq
+    Result(assigns.toDF("id", "comp"), 0)
   }
 
   /** Cheap order-insensitive fixpoint signature of an edge set. */
@@ -74,13 +121,14 @@ object ConnectedComponents {
   /** large-star: every node connects its strictly-larger neighbors to
     * the minimum of its neighborhood (including itself).
     */
-  private[canon] def largeStar(e: DataFrame, hotThreshold: Long): DataFrame = {
+  private[canon] def largeStar(e: DataFrame, hotThreshold: Long,
+                               countHint: Option[Long] = None): DataFrame = {
     val sym = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
     val mins = sym.groupBy("src")
       .agg(min("dst").as("m"))
       .select(col("src"), least(col("m"), col("src")).as("m"))
     SkewJoin.joinUniqueRight(sym.filter(col("dst") > col("src")), mins,
-        "src", hotThreshold)
+        "src", hotThreshold, countHint)
       .select(col("dst").as("src"), col("m").as("dst"))
       .filter(col("src") =!= col("dst"))
       .distinct()
@@ -89,13 +137,15 @@ object ConnectedComponents {
   /** small-star: orient edges big→small; every node connects its
     * smaller-or-equal neighbors (and itself) to the neighborhood min.
     */
-  private[canon] def smallStar(e: DataFrame, hotThreshold: Long): DataFrame = {
+  private[canon] def smallStar(e: DataFrame, hotThreshold: Long,
+                               countHint: Option[Long] = None): DataFrame = {
     val oriented = e.select(
       greatest(col("src"), col("dst")).as("src"),
       least(col("src"), col("dst")).as("dst")
     ).filter(col("src") =!= col("dst")).distinct()
     val mins = oriented.groupBy("src").agg(min("dst").as("m"))
-    val relinked = SkewJoin.joinUniqueRight(oriented, mins, "src", hotThreshold)
+    val relinked = SkewJoin.joinUniqueRight(oriented, mins, "src",
+      hotThreshold, countHint)
     relinked.select(col("dst").as("v"), col("m"))
       .unionByName(mins.select(col("src").as("v"), col("m")))
       .filter(col("v") =!= col("m"))

@@ -86,8 +86,16 @@ object FilesGen {
 
   private def pick[T](rnd: scala.util.Random, v: Vector[T]): T = v(rnd.nextInt(v.size))
 
-  /** Pure row function: the whole fixture contract lives here. */
-  def row(i: Long, seed: Long): SourceFile = {
+  /** Pure row function: the whole fixture contract lives here.
+    * `richness` = number of generated sections per file (1 for unit
+    * fixtures; higher for benchmark corpora so extraction is
+    * CPU-bound rather than scheduling-bound — realistic source files
+    * are KBs, not hundreds of bytes). Must stay <= 20 so the
+    * references per-doc cap is never reached (the golden oracle does
+    * not model the cap).
+    */
+  def row(i: Long, seed: Long, richness: Int = 1): SourceFile = {
+    require(richness >= 1 && richness <= 20)
     val rnd = new scala.util.Random(seed * 1000003L + i)
     val repoIdx = zipf(rnd, 20)
     val repo = f"repo$repoIdx%03d"
@@ -108,13 +116,12 @@ object FilesGen {
     val pkg = s"pkg${rnd.nextInt(8)}"
     val name = s"file$i"
     val path = s"src/$pkg/$name.$ext"
-    val j = rnd.nextInt(5)
-    val k = rnd.nextInt(5)
+    val jk = IndexedSeq.fill(40)(rnd.nextInt(5))
 
     val sb = new StringBuilder
     def maybe(p: Double)(body: => Unit): Unit = if (rnd.nextDouble() < p) body
 
-    def urlLine(prefix: String): Unit = {
+    def urlLine(prefix: String, j: Int): Unit = {
       val dom = pick(rnd, domainPool)
       val variant = pick(rnd, domainVariants(dom))
       sb.append(s"$prefix see https://$variant/guide/$j\n")
@@ -143,14 +150,17 @@ object FilesGen {
     def prose(nWords: Int): String =
       (0 until nWords).map(_ => pick(rnd, proseWords)).mkString(" ")
 
-    lang match {
+    for (section <- 0 until richness) {
+      val j = jk(section * 2)
+      val k = jk(section * 2 + 1)
+      lang match {
       case "scala" =>
         sb.append(s"package $pkg\n")
         val nImp = 1 + rnd.nextInt(3)
         (0 until nImp).foreach(_ => sb.append(s"import ${pick(rnd, importPoolScala)}\n"))
         maybe(0.5)(tagsLine("//"))
         maybe(0.4)(questionLine("//"))
-        maybe(0.5)(urlLine("//"))
+        maybe(0.5)(urlLine("//", j))
         maybe(0.3)(refLine("//"))
         sb.append(s"object Service$j {\n")
         sb.append(s"  def handle$j(x: Int): Int = transform$k(x) + parse$k(x)\n")
@@ -163,7 +173,7 @@ object FilesGen {
         maybe(0.4)(sb.append(s"from collections import defaultdict\n"))
         maybe(0.5)(tagsLine("#"))
         maybe(0.4)(questionLine("#"))
-        maybe(0.5)(urlLine("#"))
+        maybe(0.5)(urlLine("#", j))
         maybe(0.3)(refLine("#"))
         sb.append(s"def process_$j(data):\n")
         sb.append(s"    return clean_$k(normalize_$k(data))\n")
@@ -171,7 +181,7 @@ object FilesGen {
       case "md" =>
         sb.append(s"# Guide $j\n\n")
         sb.append(prose(12)).append(".\n\n")
-        maybe(0.7)(urlLine("-"))
+        maybe(0.7)(urlLine("-", j))
         maybe(0.6)(refLine("-"))
         maybe(0.6)(questionLine("-"))
         maybe(0.5)(tagsLine(""))
@@ -179,14 +189,15 @@ object FilesGen {
         sb.append("\n").append(prose(10)).append(".\n")
       case "txt" =>
         sb.append(prose(15)).append(".\n")
-        maybe(0.5)(urlLine(""))
+        maybe(0.5)(urlLine("", j))
         maybe(0.4)(questionLine(""))
         maybe(0.3)(refLine(""))
         maybe(0.2)(complianceLine("", asCode = false))
       case "json" =>
         val dom = pick(rnd, domainPool)
         val variant = pick(rnd, domainVariants(dom))
-        sb.append(s"""{"name": "$pkg-$name", "homepage": "https://$variant/", "lang": "json"}\n""")
+        sb.append(s"""{"name": "$pkg-$name-$j$k", "homepage": "https://$variant/", "lang": "json"}\n""")
+      }
     }
     // a small fraction of oversize docs to exercise the token guard
     // (reference: check_token_limit, /root/reference/app.py:51-75)
@@ -201,18 +212,18 @@ object FilesGen {
   }
 
   /** Plain-Scala corpus (tests, golden oracle). */
-  def local(n: Int, seed: Long = 42L): IndexedSeq[SourceFile] =
-    (0L until n.toLong).map(row(_, seed))
+  def local(n: Int, seed: Long = 42L, richness: Int = 1): IndexedSeq[SourceFile] =
+    (0L until n.toLong).map(row(_, seed, richness))
 
   /** Distributed corpus: rows generated inside tasks, never on the
     * driver — at bench scale (and at 10^12-row scale in spirit) the
     * driver only ships (seed, range) bounds.
     */
   def dataset(spark: SparkSession, n: Long, seed: Long = 42L,
-              partitions: Int = 0): Dataset[SourceFile] = {
+              partitions: Int = 0, richness: Int = 1): Dataset[SourceFile] = {
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    spark.range(0L, n, 1L, p).map(i => row(i, seed))
+    spark.range(0L, n, 1L, p).map(i => row(i, seed, richness))
   }
 }

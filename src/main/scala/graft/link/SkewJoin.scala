@@ -26,9 +26,21 @@ object SkewJoin {
     */
   val MaxHotKeys = 4096
 
-  /** left ⋈ right on `key`; `right` MUST be unique per key. */
+  /** Below this left-side size the hot-key detection job costs more
+    * than any possible skew: plain join (AQE still covers it).
+    */
+  val MinRowsForDetection = 1000000L
+
+  /** left ⋈ right on `key`; `right` MUST be unique per key.
+    * `leftCountHint`: pass a known (or upper-bound) left row count to
+    * skip the detection aggregation for small inputs — iterative
+    * callers (CC) know it from their fixpoint bookkeeping.
+    */
   def joinUniqueRight(left: DataFrame, right: DataFrame, key: String,
-                      hotThreshold: Long = 100000L): DataFrame = {
+                      hotThreshold: Long = 100000L,
+                      leftCountHint: Option[Long] = None): DataFrame = {
+    if (leftCountHint.exists(_ < MinRowsForDetection))
+      return left.join(right, Seq(key))
     val hotKeys = left.groupBy(key).count()
       .filter(col("count") > hotThreshold)
       .select(key).limit(MaxHotKeys + 1).collect().map(_.get(0))

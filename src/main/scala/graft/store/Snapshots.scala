@@ -75,10 +75,13 @@ object Snapshots {
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
     // per-partition lineage: row count per produced file, computed off
-    // the durable output itself
+    // the durable output itself. Keyed by the stage-relative path —
+    // partitionBy layouts reuse part-file basenames across partition
+    // dirs, so the basename alone would collide.
     val back = spark.read.parquet(dir)
     val perFile = back
-      .groupBy(regexp_extract(input_file_name(), "([^/]+\\.parquet)", 1).as("f"))
+      .groupBy(regexp_replace(input_file_name(),
+        "^.*?/stage=[^/]+/", "").as("f"))
       .count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     val rows = perFile.values.sum

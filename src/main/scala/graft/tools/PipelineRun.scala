@@ -31,8 +31,22 @@ object PipelineRun {
     spark.sparkContext.setLogLevel("ERROR")
     spark.sparkContext.setCheckpointDir(s"$runDir/_checkpoints")
 
+    // materialize the corpus as a parquet table first (the north-rule
+    // input is an Iceberg-style table on storage, not a generator) —
+    // corpus prep is not pipeline cost
+    val richness = sys.env.getOrElse("SPARK_GRAFT_RICHNESS", "8").toInt
+    // SPARK_GRAFT_FILES_DIR: share one materialized corpus across
+    // repeated bench runs (corpus prep is excluded from timing anyway)
+    val filesDir = sys.env.getOrElse("SPARK_GRAFT_FILES_DIR", s"$runDir/files")
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(filesDir))) {
+      FilesGen.dataset(spark, n, richness = richness)
+        .write.mode("overwrite").parquet(filesDir)
+    }
+    import spark.implicits._
+    val files = spark.read.parquet(filesDir).as[graft.SourceFile]
+
     val t0 = System.nanoTime()
-    val res = Pipeline.run(spark, FilesGen.dataset(spark, n), runDir, runId)
+    val res = Pipeline.run(spark, files, runDir, runId)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[pipeline] runId=${res.runId} files=$n triples=${res.triples} " +
       f"quarantined=${res.quarantined} entities=${res.entities} " +

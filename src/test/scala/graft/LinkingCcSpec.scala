@@ -67,17 +67,28 @@ class LinkingCcSpec extends SparkSpec {
         .map(v => v -> {
           var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
         }).toMap
-      val got = ConnectedComponents.run(edges.toDF("src", "dst"))
+      // both paths must agree with brute force: the distributed
+      // star-join fixpoint (localThreshold=0) and the driver-side
+      // union-find fast path (default threshold)
+      val distributed = ConnectedComponents.run(edges.toDF("src", "dst"),
+          localThreshold = 0L)
         .assignments.as[(Long, Long)].collect().toMap
-      assert(got == expected, s"seed=$seed")
+      val local = ConnectedComponents.run(edges.toDF("src", "dst"))
+        .assignments.as[(Long, Long)].collect().toMap
+      assert(distributed == expected, s"distributed seed=$seed")
+      assert(local == expected, s"local seed=$seed")
     }
   }
 
-  test("cc of empty and of single-edge graphs") {
-    assert(ConnectedComponents.run(
-      Seq.empty[(Long, Long)].toDF("src", "dst")).assignments.count() == 0)
-    val one = ConnectedComponents.run(Seq((5L, 2L)).toDF("src", "dst"))
-      .assignments.as[(Long, Long)].collect().toMap
-    assert(one == Map(5L -> 2L, 2L -> 2L))
+  test("cc of empty and of single-edge graphs (both paths)") {
+    for (thr <- Seq(0L, ConnectedComponents.LocalEdgeThreshold)) {
+      assert(ConnectedComponents.run(
+        Seq.empty[(Long, Long)].toDF("src", "dst"),
+        localThreshold = thr).assignments.count() == 0)
+      val one = ConnectedComponents.run(Seq((5L, 2L)).toDF("src", "dst"),
+          localThreshold = thr)
+        .assignments.as[(Long, Long)].collect().toMap
+      assert(one == Map(5L -> 2L, 2L -> 2L))
+    }
   }
 }
