@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.ops.{Dedup, Relational, Similarity, TextOps}
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -195,6 +195,43 @@ object SparkEntry {
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Similarity.lshTopK(embs, q, 10)
+    }),
+    // ---- streaming (Structured Streaming driven to completion) ----
+    "stream_windowed" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val batch = t(dir, "events")
+      s.catalog.dropTempView("stream_windowed_mem")
+      // FileStreamSource requires a directory: stage the single file
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val src = s.readStream.schema(batch.schema).parquet(staged.toString)
+      graft.streaming.Streaming.runToMemory(s,
+          graft.streaming.Streaming.windowedEventCounts(src),
+          "stream_windowed_mem",
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+        .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+          col("event_type"), col("n"), col("sum_value"))
+    }),
+    // ---- custom Catalyst expression (codegen'd rolling fingerprint) ----
+    "doc_rolling_fp" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "documents").select(col("doc_id"),
+        graft.functions.functions.rolling_minhash(col("text"), 16).as("fp"))
+    }),
+    // ---- multimodal (binary payloads + typed metadata; stub codec) ----
+    "media_profile" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Multimodal.mediaProfile(Multimodal.syntheticMedia(s, 2000L).toDF())
+    }),
+    "media_sim_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 1000L))
+        .select(col("mediaId").as("vec_id"), col("feature").as("embedding"))
+      val q = feats.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      Similarity.cosineTopK(feats, q, 5)
     })
   )
 
@@ -344,6 +381,10 @@ object SparkEntry {
         |    CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    "stream_windowed" ->
+      """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "cos_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),

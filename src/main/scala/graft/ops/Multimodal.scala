@@ -1,0 +1,132 @@
+package graft.ops
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal columns: image/audio/video as opaque `binary` payloads
+  * with typed metadata, processed in BATCHED per-partition passes.
+  *
+  * The Spark-side plumbing is real and tested — schema (binary +
+  * struct metadata), partitioning (by media kind), pooled per-partition
+  * "codec" instances, batch shape (Iterator→Iterator, no per-row
+  * setup) — exactly the shape a real decoder drops into. The decode
+  * step itself is a DETERMINISTIC STUB (this container has no image/
+  * audio libraries): it derives pixel/sample statistics from the
+  * payload bytes via a seeded digest. Replace `StubCodec` with a real
+  * library binding to productionize; nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(
+      format: String, // "png" | "wav" | "mp4" (as labeled, not parsed)
+      width: Int,
+      height: Int,
+      durationMs: Long,
+      sampleRate: Int
+  )
+
+  final case class MediaFile(
+      mediaId: Long,
+      kind: String, // image | audio | video
+      meta: MediaMeta,
+      payload: Array[Byte]
+  )
+
+  final case class MediaFeature(mediaId: Long, kind: String,
+                                feature: Array[Float])
+
+  final case class Frame(mediaId: Long, frameIdx: Int, tsMs: Long,
+                         thumb: Array[Byte])
+
+  /** Deterministic synthetic media corpus: payload bytes are a pure
+    * function of (seed, id); sizes/kinds vary by id.
+    */
+  def syntheticMedia(spark: SparkSession, n: Long,
+                     seed: Long = 42L): Dataset[MediaFile] = {
+    import spark.implicits._
+    val p = spark.sparkContext.defaultParallelism
+    spark.range(0L, n, 1L, p).map { i =>
+      val rnd = new scala.util.Random(seed * 7919L + i)
+      val kind = Seq("image", "audio", "video")(rnd.nextInt(3))
+      val (fmt, w, h, dur, sr) = kind match {
+        case "image" => ("png", 64 + rnd.nextInt(512), 64 + rnd.nextInt(512), 0L, 0)
+        case "audio" => ("wav", 0, 0, 1000L + rnd.nextInt(60000), 16000)
+        case _       => ("mp4", 320, 240, 1000L + rnd.nextInt(30000), 0)
+      }
+      val payload = new Array[Byte](256 + rnd.nextInt(1024))
+      rnd.nextBytes(payload)
+      MediaFile(i, kind, MediaMeta(fmt, w, h, dur, sr), payload)
+    }
+  }
+
+  /** The per-partition "codec" — pooled once per task like the
+    * reference's LLM client (/root/reference/python.py:89-111). A real
+    * implementation holds native decoder handles here.
+    */
+  private final class StubCodec extends Serializable {
+    private val md = java.security.MessageDigest.getInstance("SHA-256")
+
+    /** STUB decode: a real codec would parse the container and return
+      * pixel/sample data; this derives a deterministic 16-dim feature
+      * from the payload digest so downstream plumbing is testable.
+      */
+    def decodeToFeature(payload: Array[Byte]): Array[Float] = {
+      md.reset()
+      val d = md.digest(payload)
+      Array.tabulate(16) { k =>
+        // map two digest bytes to [-1, 1)
+        (((d(2 * k) & 0xff) << 8 | (d(2 * k + 1) & 0xff)) / 32768.0f) - 1.0f
+      }
+    }
+
+    /** STUB thumbnail: real codec would decode + resample; this tags
+      * the payload digest with the frame index.
+      */
+    def frameThumb(payload: Array[Byte], frameIdx: Int): Array[Byte] = {
+      md.reset()
+      md.update(payload)
+      md.update(frameIdx.toByte)
+      md.digest()
+    }
+  }
+
+  /** Feature extraction: one pooled codec per partition, batch-shaped
+    * Iterator→Iterator (the Scala analog of mapInPandas batches).
+    */
+  def extractFeatures(media: Dataset[MediaFile]): Dataset[MediaFeature] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = new StubCodec
+      it.map(m => MediaFeature(m.mediaId, m.kind,
+        codec.decodeToFeature(m.payload)))
+    }
+  }
+
+  /** Frame sampling: videos explode into one row per sampled frame —
+    * output cardinality is data-dependent (duration / everyMs), the
+    * flatMap shape a real frame grabber needs.
+    */
+  def sampleFrames(media: Dataset[MediaFile], everyMs: Long): Dataset[Frame] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.filter(_.kind == "video").mapPartitions { it =>
+      val codec = new StubCodec
+      it.flatMap { m =>
+        val nFrames = math.max(1, (m.meta.durationMs / everyMs).toInt)
+        (0 until nFrames).iterator.map(f =>
+          Frame(m.mediaId, f, f * everyMs, codec.frameThumb(m.payload, f)))
+      }
+    }
+  }
+
+  /** Metadata-only profile — never deserializes `payload` (column
+    * pruning keeps the binary out of the scan entirely; verified in
+    * tests via the physical plan's ReadSchema).
+    */
+  def mediaProfile(mediaDf: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    mediaDf.groupBy("kind")
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("meta.durationMs")), 2).as("avg_duration_ms"),
+        max(col("meta.width")).as("max_width"))
+}

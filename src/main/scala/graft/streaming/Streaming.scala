@@ -1,0 +1,75 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Structured Streaming surface. The reference is batch-only (serial
+  * upload loop, /root/reference/app.py:486-503) — these operators are
+  * the streaming continuation of the same semantics: the event
+  * pivot/profile as a watermarked windowed aggregation, and the
+  * inactivity-gap sessionizer as keyed state. Both transforms take and
+  * return (streaming) DataFrames, so batch tests can apply the exact
+  * same logic through readStream over the driver's parquet.
+  */
+object Streaming {
+
+  /** Watermarked sliding-window counts per event type. Parquet
+    * timestamps arrive as TIMESTAMP_NTZ (Spark 4 default inference)
+    * but watermarks require TIMESTAMP — normalized here (session tz
+    * is UTC, so the cast is a relabel, not a shift).
+    */
+  def windowedEventCounts(events: DataFrame, windowLen: String = "6 hours",
+                          watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+      .select(col("window.start").as("w_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
+  final case class SessionAssign(event_id: Long, user_id: Long,
+                                 session_seq: Long)
+  final case class SessionState(lastTsMs: Long, seq: Long)
+
+  /** Inactivity-gap sessionization as keyed streaming state
+    * (flatMapGroupsWithState) — the stateful twin of
+    * ops.Relational.sessionize. Within a trigger the group iterator is
+    * unordered, so events are sorted by (ts, event_id) before the gap
+    * scan; state carries (last ts, session counter) across triggers.
+    */
+  def sessionizeStream(events: Dataset[Ev], gapSeconds: Long)
+  : Dataset[SessionAssign] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionAssign](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+          val out = sorted.map { e =>
+            val tsMs = e.ts.getTime
+            val isNew = st.lastTsMs == Long.MinValue ||
+              (tsMs - st.lastTsMs) / 1000 > gapSeconds
+            st = SessionState(tsMs, if (isNew) st.seq + 1 else st.seq)
+            SessionAssign(e.event_id, user, st.seq)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
+  /** Drive a parquet directory through a streaming query into a memory
+    * sink and return the materialized result (test/bench harness).
+    */
+  def runToMemory(spark: SparkSession, streaming: DataFrame,
+                  name: String, mode: OutputMode): DataFrame = {
+    val q = streaming.writeStream
+      .format("memory").queryName(name).outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+  }
+}

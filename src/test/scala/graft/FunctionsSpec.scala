@@ -1,0 +1,63 @@
+package graft
+
+import graft.functions.{RollingHash, functions => gf}
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Independent reference implementation: string-indexed, recomputes
+    * each window hash from scratch (no rolling update — different
+    * code path than the kernel).
+    */
+  private def refMinHash(s: String, w0: Int): Long = {
+    val b = s.getBytes("UTF-8")
+    if (b.isEmpty) return 0L
+    val w = math.min(w0, b.length)
+    (0 to b.length - w).map { i =>
+      var h = 0L
+      for (k <- i until i + w) h = h * RollingHash.Base + (b(k) & 0xff)
+      h
+    }.min
+  }
+
+  test("rolling_minhash matches windowed-rescan reference") {
+    val samples = Seq("", "a", "abc", "hello world hello world",
+      "αβγ unicode ΔΕΖ", "the pipeline reads every file and emits rows",
+      "x" * 500)
+    for (s <- samples; w <- Seq(1, 4, 8, 16)) {
+      val got = Seq(s).toDF("t")
+        .select(gf.rolling_minhash($"t", w).as("h")).as[Long].head()
+      assert(got == refMinHash(s, w), s"s=${s.take(20)} w=$w")
+    }
+  }
+
+  test("shift-invariance: shared windows dominate the fingerprint") {
+    val doc = "shared core content that dominates the hash space"
+    val a = refMinHash("PREFIX " + doc, 8)
+    val b = refMinHash("OTHER LEAD " + doc + " TRAIL", 8)
+    // both contain all windows of `doc`; min over a superset can only
+    // be <= — fingerprints collide when the minimal window is shared
+    assert(a == b, "winnowing property: identical cores fingerprint equal")
+  }
+
+  test("expression runs inside whole-stage codegen (no fallback)") {
+    val df = spark.range(100).select(
+      gf.rolling_minhash(concat(lit("row"), $"id".cast("string")), 8).as("h"))
+    // "*(n)" is the WholeStageCodegen marker in the plan string; the
+    // Project containing the expression must carry it (a fallback
+    // expression would break the span)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project [rolling_minhash"), plan)
+    assert(df.distinct().count() > 90, "hashes should be near-unique")
+  }
+
+  test("SQL registration and null handling") {
+    gf.register(spark)
+    val out = spark.sql(
+      "SELECT rolling_minhash(t, 4) AS h FROM VALUES ('abcd'), (NULL) AS v(t)")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(out(0) == Some(refMinHash("abcd", 4)))
+    assert(out(1).isEmpty, "null input must yield null")
+  }
+}

@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.{Multimodal, Similarity}
+
+class MultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val media = Multimodal.syntheticMedia(spark, 300).cache()
+
+  test("binary payload round-trips through parquet with typed metadata") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").partitionBy("kind").parquet(dir)
+    val back = spark.read.parquet(dir).as[Multimodal.MediaFile]
+    assert(back.count() == 300)
+    val a = media.filter(_.mediaId == 5).head()
+    val b = back.filter(_.mediaId == 5).head()
+    assert(java.util.Arrays.equals(a.payload, b.payload))
+    assert(a.meta == b.meta && a.kind == b.kind)
+
+    // metadata-only profile must never read the binary column
+    val plan = Multimodal.mediaProfile(spark.read.parquet(dir))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema") && !plan.contains("payload"),
+      s"payload must be pruned from the scan:\n$plan")
+  }
+
+  test("feature extraction is deterministic and partition-invariant") {
+    val f1 = Multimodal.extractFeatures(media)
+      .collect().map(f => f.mediaId -> f.feature.toSeq).toMap
+    val f2 = Multimodal.extractFeatures(media.repartition(11))
+      .collect().map(f => f.mediaId -> f.feature.toSeq).toMap
+    assert(f1 == f2)
+    assert(f1.values.forall(_.size == 16))
+    assert(f1.values.forall(v => v.forall(x => x >= -1.0f && x < 1.0f)))
+  }
+
+  test("frame sampling explodes per duration") {
+    val frames = Multimodal.sampleFrames(media, everyMs = 5000)
+      .collect().groupBy(_.mediaId)
+    val videos = media.filter(_.kind == "video").collect()
+    assert(videos.nonEmpty)
+    videos.foreach { v =>
+      val expected = math.max(1, (v.meta.durationMs / 5000).toInt)
+      assert(frames(v.mediaId).length == expected, s"media ${v.mediaId}")
+      // stub thumbs are deterministic and distinct per frame
+      assert(frames(v.mediaId).map(_.thumb.toSeq).distinct.length == expected)
+    }
+    assert(frames.keySet == videos.map(_.mediaId).toSet)
+  }
+
+  test("media features feed similarity search end-to-end") {
+    val feats = Multimodal.extractFeatures(media)
+      .select($"mediaId".as("vec_id"), $"feature".as("embedding"))
+    val q = feats.filter($"vec_id" === 0).head().getSeq[Float](1)
+      .map(_.toDouble)
+    val top = Similarity.cosineTopK(feats, q, 5)
+      .as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && math.abs(top.head._2 - 1.0) < 1e-6,
+      "query vector must be its own nearest neighbor")
+    assert(top.length == 5)
+  }
+}
