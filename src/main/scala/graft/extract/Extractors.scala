@@ -192,4 +192,11 @@ object ExtractorRegistry {
     QuestionsExtractor, ComplianceExtractor
   )
   def byName(n: String): RuleExtractor = all.find(_.name == n).get
+
+  /** Case-insensitive substring search over the registry — the
+    * reference's prompt/model search filters
+    * (/root/reference/app.py:378-391,399-436) as a library call.
+    */
+  def search(q: String): Seq[RuleExtractor] =
+    all.filter(_.name.toLowerCase.contains(q.toLowerCase))
 }

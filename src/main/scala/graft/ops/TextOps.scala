@@ -118,6 +118,32 @@ object TextOps {
       .filter(col("rank") <= k)
   }
 
+  /** Output-repair truncation — faithful port of the reference's
+    * extractor post-processing (/root/reference/python.py:276-291):
+    *  1. strip;
+    *  2. cut at the last sentence end ('.', '?', '!') if that keeps
+    *     more than 50% of the text, then strip;
+    *  3. if the result still doesn't end on a sentence end, drop the
+    *     trailing partial word when the last space keeps > 80%.
+    * Pure Scala kernel (runs inside extractors / map functions — no
+    * Catalyst needed, SURVEY.md T5).
+    */
+  def repairTruncate(response0: String): String = {
+    val response = response0.strip()
+    if (response.isEmpty) return response
+    var text = response
+    val lastEnd = math.max(text.lastIndexOf('.'),
+      math.max(text.lastIndexOf('?'), text.lastIndexOf('!')))
+    if (lastEnd > text.length * 0.5)
+      text = text.substring(0, lastEnd + 1).strip()
+    if (!".!?".contains(text.charAt(text.length - 1))) {
+      val lastSpace = text.lastIndexOf(' ')
+      if (lastSpace > text.length * 0.8)
+        text = text.substring(0, lastSpace).strip()
+    }
+    text
+  }
+
   /** Compliance review: broadcast rule table joined on regex match
     * (/root/reference/Prompts/Review_Securiity_Document — the rule
     * list as data, not code). Broadcast nested-loop join: |rules| regex

@@ -90,6 +90,16 @@ object Snapshots {
     spark.read.parquet(dir)
   }
 
+  /** Single-file export — the reference's ZIP batch packaging analog
+    * (/root/reference/app.py:513-526): one artifact for hand-off.
+    * coalesce(1) is an explicit final-mile choice; never use it on a
+    * table that should stay distributed.
+    */
+  def exportSingle(df: DataFrame, dir: String,
+                   format: String = "csv"): Unit =
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").format(format).save(dir)
+
   private def writeManifest(dir: String, m: Manifest): Unit = {
     import org.json4s._
     import org.json4s.jackson.{JsonMethods, Serialization}
