@@ -114,12 +114,14 @@ object Pipeline {
           $"repo", $"path", $"commit")
     }
 
-    // counts come from the stage manifests (no recount jobs); only the
-    // quarantine split needs a scan, and partition pruning limits it to
-    // the pred=__quarantine__ directory
-    val rawRows = Snapshots.readManifest(runDir, "extract").rows
-    val quarantined =
-      raw.filter($"pred" === Extraction.QuarantinePred).count()
+    // all counts come from stage manifests (no recount jobs); the
+    // quarantine split falls out of the pred= partition-dir keys in
+    // the extract manifest's per-file lineage
+    val extractManifest = Snapshots.readManifest(runDir, "extract")
+    val rawRows = extractManifest.rows
+    val quarantined = extractManifest.fileRows.collect {
+      case (f, n) if f.startsWith(s"pred=${Extraction.QuarantinePred}/") => n
+    }.sum
     Result(
       runId = runId,
       triples = rawRows - quarantined,

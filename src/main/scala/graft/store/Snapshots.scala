@@ -74,20 +74,44 @@ object Snapshots {
       .parquet(dir)
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
-    // per-partition lineage: row count per produced file, computed off
-    // the durable output itself. Keyed by the stage-relative path —
-    // partitionBy layouts reuse part-file basenames across partition
-    // dirs, so the basename alone would collide.
-    val back = spark.read.parquet(dir)
-    val perFile = back
-      .groupBy(regexp_replace(input_file_name(),
-        "^.*?/stage=[^/]+/", "").as("f"))
-      .count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // per-partition lineage: row count per produced file, read from
+    // the parquet FOOTERS on the driver (no Spark job, no data
+    // re-scan — the Iceberg-manifest approach). Keyed by the
+    // stage-relative path: partitionBy layouts reuse part-file
+    // basenames across partition dirs.
+    val perFile = footerCounts(dir)
     val rows = perFile.values.sum
 
     writeManifest(dir, Manifest(runId, stageName, rows, perFile, wallMs, metrics))
     spark.read.parquet(dir)
+  }
+
+  /** Footer-derived per-file row counts for every *.parquet under
+    * `dir`, keyed by dir-relative path.
+    */
+  def footerCounts(dir: String): Map[String, Long] = {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val base = Paths.get(dir)
+    val files = Files.walk(base).iterator().asScalaIterator()
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .toVector
+    val conf = new Configuration()
+    files.map { p =>
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new HPath(p.toString), conf))
+      try base.relativize(p).toString -> reader.getRecordCount
+      finally reader.close()
+    }.toMap
+  }
+
+  private implicit class IterAdapter[T](it: java.util.Iterator[T]) {
+    def asScalaIterator(): Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
   }
 
   /** Single-file export — the reference's ZIP batch packaging analog

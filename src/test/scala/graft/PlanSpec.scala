@@ -1,0 +1,71 @@
+package graft
+
+import graft.extract.Extraction
+import graft.fixtures.FilesGen
+import graft.link.Linking
+import org.apache.spark.sql.functions._
+
+/** Physical-plan assertions: the optimizations we design for must be
+  * visible in `explain`, not just assumed — predicate pushdown, column
+  * pruning (the fat `content` column never reaches linking), broadcast
+  * joins on dimensions, whole-stage codegen on the text operators.
+  */
+class PlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dir = sfDir("0.01")
+  private def plan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("filters reach the parquet scan (PushedFilters)") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .filter($"lang" === "en").select("doc_id")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(lang), EqualTo(lang,en)]"), p)
+  }
+
+  test("projection prunes columns at the scan (ReadSchema)") {
+    val df = spark.read.parquet(s"$dir/documents.parquet")
+      .select("doc_id", "lang")
+    val p = plan(df)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,lang:string>"), p)
+    assert(!p.contains("text"), "text must not be read")
+  }
+
+  test("linking stage never reads content from the triple snapshot") {
+    // write a triple snapshot, then check the entity scan's schema
+    val snap = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    Extraction.triples(Extraction.extract(FilesGen.dataset(spark, 50)))
+      .toDF().write.mode("overwrite").parquet(snap)
+    val ents = Linking.entities(spark.read.parquet(snap).as[Triple])
+    val p = plan(ents)
+    assert(p.contains("ReadSchema: struct<pred:string,obj:string>"),
+      s"entity scan must prune provenance + everything else:\n$p")
+  }
+
+  test("dimension joins broadcast (revenue_by_nation)") {
+    val df = SparkEntry.queries("revenue_by_nation")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "tiny dims must not sort-merge:\n" + p)
+  }
+
+  test("text operators stay inside whole-stage codegen") {
+    val df = SparkEntry.queries("quality_score")(spark, dir)
+    val p = plan(df)
+    assert(p.contains("*(1)"), s"expected a codegen stage:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("mapPartitions"), p)
+  }
+
+  test("extract snapshot prunes quarantine partitions on read") {
+    val runDir = java.nio.file.Files.createTempDirectory("graft-plan2").toString
+    Extraction.extract(FilesGen.dataset(spark, 50))
+      .toDF().write.mode("overwrite").partitionBy("pred").parquet(runDir)
+    val df = spark.read.parquet(runDir)
+      .filter($"pred" === "imports").select("subj", "obj")
+    val p = df.queryExecution.toString()
+    // partition filter present → non-matching pred dirs are never listed
+    assert(plan(df).contains("PartitionFilters"), plan(df))
+  }
+}
