@@ -1,0 +1,66 @@
+package graft
+
+import graft.canon.ConnectedComponents
+import graft.ops.TextOps
+import org.scalacheck.{Gen, Prop, Properties}
+
+/** ScalaCheck properties (SURVEY.md §5.3). Spark-touching properties
+  * use the shared session and small sizes; pure-kernel properties run
+  * at full ScalaCheck default rates.
+  */
+object GraftProps extends Properties("graft") {
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val smallGraph: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(2, 40)
+    m <- Gen.choose(0, 60)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.choose(0L, n.toLong - 1)
+      b <- Gen.choose(0L, n.toLong - 1)
+    } yield (a, b))
+  } yield edges.filter(e => e._1 != e._2)
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    if (edges.isEmpty) Map.empty
+    else ConnectedComponents.run(edges.toDF("src", "dst"))
+      .assignments.as[(Long, Long)].collect().toMap
+
+  property("cc is invariant under edge permutation and orientation") =
+    Prop.forAllNoShrink(smallGraph) { edges =>
+      val base = cc(edges)
+      val rnd = new scala.util.Random(7)
+      val flipped = cc(rnd.shuffle(edges).map { case (a, b) => (b, a) })
+      base == flipped
+    }
+
+  property("canonicalization is idempotent on non-singleton components") =
+    Prop.forAllNoShrink(smallGraph) { edges =>
+      val assigns = cc(edges)
+      val starEdges = assigns.toSeq.filter { case (id, c) => id != c }
+      val nonSingleton = assigns.filter { case (_, c) =>
+        assigns.count(_._2 == c) >= 2
+      }
+      cc(starEdges) == nonSingleton
+    }
+
+  property("repairTruncate never grows and preserves clean endings") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val out = TextOps.repairTruncate(s)
+      out.length <= s.strip().length &&
+        (!s.strip().endsWith(".") || out == s.strip())
+    }
+
+  property("repairTruncate is idempotent") =
+    Prop.forAll(Gen.asciiPrintableStr) { s =>
+      val once = TextOps.repairTruncate(s)
+      TextOps.repairTruncate(once) == once
+    }
+
+  property("estimateTokens matches split-based count") =
+    Prop.forAll(Gen.listOf(Gen.oneOf("word", "a", "  ", "\t", "x y")).map(_.mkString(" "))) { s =>
+      val t = s.trim
+      val words = if (t.isEmpty) 0 else t.split("\\s+").length
+      graft.extract.Extraction.estimateTokens(s) == (words * 1.3).toInt
+    }
+}
