@@ -76,11 +76,13 @@ object Extraction {
         else {
           val out = Vector.newBuilder[Triple]
           var failed: Option[String] = None
+          // split once, share across the whole registry
+          val splitLines = RuleExtractor.split(f.content)
           registry.iterator.filter(_.appliesTo(f.lang)).foreach { ex =>
             var attempt = 0; var done = false
             while (!done && attempt < cfg.attempts) {
               attempt += 1
-              try { out ++= ex.extract(f); done = true }
+              try { out ++= ex.extract(f, splitLines); done = true }
               catch {
                 case e: Exception if attempt >= cfg.attempts =>
                   failed = Some(s"${ex.name}: ${e.getMessage}")

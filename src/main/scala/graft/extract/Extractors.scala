@@ -17,16 +17,36 @@ trait RuleExtractor extends Serializable {
   /** Predicate this extractor emits; also its provenance name. */
   def name: String
   def appliesTo(lang: String): Boolean = true
-  def extract(f: SourceFile): Seq[Triple]
+
+  /** `splitLines` is the content split ONCE by the extraction pass and
+    * shared by every extractor — at 10^12 files, re-splitting per
+    * extractor would multiply the dominant allocation cost by the
+    * registry size.
+    */
+  def extract(f: SourceFile, splitLines: Array[String]): Seq[Triple]
+
+  /** Convenience for tests/single use. */
+  final def extract(f: SourceFile): Seq[Triple] =
+    extract(f, RuleExtractor.split(f.content))
 
   protected def subj(f: SourceFile): String = s"${f.repo}/${f.path}"
   protected def triple(f: SourceFile, pred: String, obj: String,
                        line: Int, conf: Double = 1.0): Triple =
     Triple(subj(f), pred, obj, conf, f.repo, f.path, f.commit, name, line)
 
-  /** (lineNo 1-based, lineText) iterator. */
-  protected def lines(f: SourceFile): Iterator[(Int, String)] =
-    f.content.linesIterator.zipWithIndex.map { case (l, i) => (i + 1, l) }
+  /** (lineNo 1-based, lineText) iterator over the shared split. */
+  protected def lines(ls: Array[String]): Iterator[(Int, String)] =
+    ls.iterator.zipWithIndex.map { case (l, i) => (i + 1, l) }
+}
+
+object RuleExtractor {
+  def split(content: String): Array[String] = {
+    // matches String.linesIterator semantics for \n-separated text
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    val it = content.linesIterator
+    while (it.hasNext) out += it.next()
+    out.toArray
+  }
 }
 
 /** `imports` — the explain_code-family analog
@@ -40,9 +60,9 @@ object ImportsExtractor extends RuleExtractor {
   private val scalaImport: Regex = """^\s*import\s+([\w.{}, ]+?)\s*$""".r
   private val pyImport: Regex = """^\s*import\s+([A-Za-z_][\w.]*)""".r
   private val pyFrom: Regex = """^\s*from\s+([\w.]+)\s+import\b""".r
-  def extract(f: SourceFile): Seq[Triple] = {
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
     val out = Vector.newBuilder[Triple]
-    for ((no, l) <- lines(f)) f.lang match {
+    for ((no, l) <- lines(ls)) f.lang match {
       case "scala" =>
         scalaImport.findFirstMatchIn(l).foreach(m =>
           out += triple(f, name, m.group(1).trim, no))
@@ -63,8 +83,8 @@ object DefinesExtractor extends RuleExtractor {
   override def appliesTo(lang: String): Boolean =
     lang == "scala" || lang == "python"
   private val defRe: Regex = """\bdef\s+([A-Za-z_]\w*)""".r
-  def extract(f: SourceFile): Seq[Triple] =
-    (for ((no, l) <- lines(f); m <- defRe.findAllMatchIn(l))
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
+    (for ((no, l) <- lines(ls); m <- defRe.findAllMatchIn(l))
       yield triple(f, name, m.group(1), no)).toVector
 }
 
@@ -77,9 +97,9 @@ object CallsExtractor extends RuleExtractor {
     lang == "scala" || lang == "python"
   private val callRe: Regex = """([A-Za-z_]\w*)\(""".r
   private val defPrefix: Regex = """\bdef\s+$""".r
-  def extract(f: SourceFile): Seq[Triple] =
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
     (for {
-      (no, l) <- lines(f)
+      (no, l) <- lines(ls)
       m <- callRe.findAllMatchIn(l)
       if defPrefix.findFirstIn(l.substring(0, m.start)).isEmpty
     } yield triple(f, name, m.group(1), no)).toVector
@@ -89,8 +109,8 @@ object CallsExtractor extends RuleExtractor {
 object UrlExtractor extends RuleExtractor {
   val name = "mentions_url"
   private[extract] val urlRe: Regex = """https?://[^\s"'()<>]+""".r
-  def extract(f: SourceFile): Seq[Triple] =
-    (for ((no, l) <- lines(f); m <- urlRe.findAllMatchIn(l))
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
+    (for ((no, l) <- lines(ls); m <- urlRe.findAllMatchIn(l))
       yield triple(f, name, m.matched, no)).toVector
 }
 
@@ -101,10 +121,10 @@ object UrlExtractor extends RuleExtractor {
   */
 object DomainExtractor extends RuleExtractor {
   val name = "mentions_domain"
-  def extract(f: SourceFile): Seq[Triple] = {
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     val firstLine = scala.collection.mutable.Map[String, Int]()
-    for ((no, l) <- lines(f); m <- UrlExtractor.urlRe.findAllMatchIn(l)) {
+    for ((no, l) <- lines(ls); m <- UrlExtractor.urlRe.findAllMatchIn(l)) {
       val rest = m.matched.substring(m.matched.indexOf("://") + 3)
       val host = rest.takeWhile(c => c != '/' && c != ':')
       if (seen.add(host)) firstLine(host) = no
@@ -120,8 +140,8 @@ object ReferencesExtractor extends RuleExtractor {
   val name = "references"
   private val refRe: Regex = """based on (.+?) by ([A-Z][A-Za-z. ]+?)\s*$""".r
   private val Cap = 20
-  def extract(f: SourceFile): Seq[Triple] =
-    (for ((no, l) <- lines(f); m <- refRe.findFirstMatchIn(l))
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
+    (for ((no, l) <- lines(ls); m <- refRe.findFirstMatchIn(l))
       yield triple(f, name, s"${m.group(1)} by ${m.group(2)}", no))
       .take(Cap).toVector
 }
@@ -131,9 +151,9 @@ object ReferencesExtractor extends RuleExtractor {
   */
 object TagsExtractor extends RuleExtractor {
   val name = "tagged"
-  def extract(f: SourceFile): Seq[Triple] =
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
     (for {
-      (no, l) <- lines(f)
+      (no, l) <- lines(ls)
       idx = l.indexOf("tags:")
       if idx >= 0
       t <- l.substring(idx + 5).split(",").iterator
@@ -148,9 +168,9 @@ object TagsExtractor extends RuleExtractor {
   */
 object QuestionsExtractor extends RuleExtractor {
   val name = "asks"
-  def extract(f: SourceFile): Seq[Triple] =
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
     (for {
-      (no, raw) <- lines(f)
+      (no, raw) <- lines(ls)
       l = raw.trim
       if l.endsWith("?")
       body = l.substring(l.lastIndexOf(':') + 1).stripSuffix("?").trim
@@ -173,7 +193,7 @@ object ComplianceExtractor extends RuleExtractor {
     "MD5" -> "weak_hash_md5",
     "RSA-1024" -> "short_key_rsa1024"
   )
-  def extract(f: SourceFile): Seq[Triple] =
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
     rules.collect {
       case (trigger, issue) if f.content.contains(trigger) =>
         val off = f.content.indexOf(trigger)

@@ -14,8 +14,12 @@ class PlanSpec extends SparkSpec {
   import spark.implicits._
 
   private val dir = sfDir("0.01")
-  private def plan(df: org.apache.spark.sql.DataFrame): String =
+  private def plan(df: org.apache.spark.sql.DataFrame): String = {
+    // other suites cache the same testdata paths; a cached relation
+    // would hide the scan we're asserting on
+    spark.catalog.clearCache()
     df.queryExecution.executedPlan.toString
+  }
 
   test("filters reach the parquet scan (PushedFilters)") {
     val df = spark.read.parquet(s"$dir/documents.parquet")
