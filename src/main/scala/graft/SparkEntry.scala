@@ -214,6 +214,34 @@ object SparkEntry {
         .select(col("w_start").cast("timestamp_ntz").as("w_start"),
           col("event_type"), col("n"), col("sum_value"))
     }),
+    "stream_sessionize" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import s.implicits._
+      val batch = t(dir, "events")
+      s.catalog.dropTempView("stream_sessions_mem")
+      val staged = java.nio.file.Files.createTempDirectory("graft-stream-s")
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      val src = s.readStream.schema(batch.schema).parquet(staged.toString)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("user_id"))
+        .as[graft.streaming.Streaming.Ev]
+      graft.streaming.Streaming.runToMemory(s,
+        graft.streaming.Streaming.sessionizeStream(src, 1800L).toDF(),
+        "stream_sessions_mem",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }),
+    // ---- the KG pipeline itself, end to end, as a query ----
+    "kg_pipeline_nodes" -> ((s, dir) => {
+      val runDir = java.nio.file.Files
+        .createTempDirectory("graft-kgq").toString
+      s.sparkContext.setCheckpointDir(s"$runDir/_ck")
+      graft.Pipeline.run(s, graft.fixtures.FilesGen.dataset(s, 2000L),
+        runDir, "kgq", graft.Pipeline.Config(resume = false))
+      graft.store.Snapshots.read(s, runDir, "nodes")
+        .select("canonical", "kind", "memberCount")
+    }),
     // ---- custom Catalyst expression (codegen'd rolling fingerprint) ----
     "doc_rolling_fp" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -355,7 +383,20 @@ object SparkEntry {
         |    SELECT event_id, user_id, ts,
         |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
         |        THEN 1
-        |        WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+        |        WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |        THEN 1 ELSE 0 END AS is_new
+        |    FROM events))""".stripMargin,
+    // the stateful streaming twin must produce exactly the batch result
+    "stream_sessionize" ->
+      """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
+        |  SELECT event_id, user_id, sum(is_new) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM (
+        |    SELECT event_id, user_id, ts,
+        |      CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |        THEN 1
+        |        WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |        THEN 1 ELSE 0 END AS is_new
         |    FROM events))""".stripMargin,
     "dedup_exact" ->

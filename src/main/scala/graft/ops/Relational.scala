@@ -71,9 +71,12 @@ object Relational {
   def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
     val byUser = Window.partitionBy(col("user_id"))
       .orderBy(col("ts").asc, col("event_id").asc)
+    // exact-microsecond gap arithmetic: unix_timestamp floors to
+    // seconds and would disagree with µs-precise oracles/streaming
     val prevTs = lag(col("ts"), 1).over(byUser)
     val isNew = when(prevTs.isNull, 1)
-      .when(unix_timestamp(col("ts")) - unix_timestamp(prevTs) > gapSeconds, 1)
+      .when(unix_micros(col("ts").cast("timestamp")) -
+        unix_micros(prevTs.cast("timestamp")) > gapSeconds * 1000000L, 1)
       .otherwise(0)
     events
       .withColumn("session_seq",

@@ -33,7 +33,13 @@ object Streaming {
   final case class Ev(event_id: Long, ts: Timestamp, user_id: Long)
   final case class SessionAssign(event_id: Long, user_id: Long,
                                  session_seq: Long)
-  final case class SessionState(lastTsMs: Long, seq: Long)
+  final case class SessionState(lastTsUs: Long, seq: Long)
+
+  /** Exact microseconds since epoch (Timestamp.getTime is ms-floored;
+    * the sub-ms part lives in getNanos).
+    */
+  private def micros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
 
   /** Inactivity-gap sessionization as keyed streaming state
     * (flatMapGroupsWithState) — the stateful twin of
@@ -48,13 +54,13 @@ object Streaming {
       .flatMapGroupsWithState[SessionState, SessionAssign](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = it.toVector.sortBy(e => (e.ts.getTime, e.event_id))
+          val sorted = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
           var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
           val out = sorted.map { e =>
-            val tsMs = e.ts.getTime
-            val isNew = st.lastTsMs == Long.MinValue ||
-              (tsMs - st.lastTsMs) / 1000 > gapSeconds
-            st = SessionState(tsMs, if (isNew) st.seq + 1 else st.seq)
+            val tsUs = micros(e.ts)
+            val isNew = st.lastTsUs == Long.MinValue ||
+              tsUs - st.lastTsUs > gapSeconds * 1000000L
+            st = SessionState(tsUs, if (isNew) st.seq + 1 else st.seq)
             SessionAssign(e.event_id, user, st.seq)
           }
           state.update(st)
