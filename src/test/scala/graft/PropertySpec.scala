@@ -51,10 +51,17 @@ object GraftProps extends Properties("graft") {
         (!s.strip().endsWith(".") || out == s.strip())
     }
 
-  property("repairTruncate is idempotent") =
+  // NOT idempotence: the reference algorithm is single-pass by design
+  // (a word-trim can shrink the string enough that the 50% sentence
+  // rule newly fires on a second pass — verified on the reference
+  // logic itself). The unconditional invariants: output is a prefix
+  // of the stripped input and nonempty input stays nonempty.
+  property("repairTruncate yields a nonempty prefix of the stripped input") =
     Prop.forAll(Gen.asciiPrintableStr) { s =>
-      val once = TextOps.repairTruncate(s)
-      TextOps.repairTruncate(once) == once
+      val stripped = s.strip()
+      val out = TextOps.repairTruncate(s)
+      out == stripped.take(out.length) &&
+        (stripped.isEmpty || out.nonEmpty)
     }
 
   property("estimateTokens matches split-based count") =
