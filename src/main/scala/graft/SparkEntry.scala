@@ -159,6 +159,26 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("session_seq").cast("long"))
     }),
+    "json_extract" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "events").select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    }),
+    "profile_rollup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+    }),
+    "price_quantiles" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem").groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99"))
+    }),
     // ---- dedup (training-data ops) ----
     "dedup_exact" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -386,6 +406,18 @@ object SparkEntry {
         |        WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
         |        THEN 1 ELSE 0 END AS is_new
         |    FROM events))""".stripMargin,
+    "json_extract" ->
+      "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+    "profile_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "price_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+        |  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+        |FROM lineitem GROUP BY 1""".stripMargin,
     // the stateful streaming twin must produce exactly the batch result
     "stream_sessionize" ->
       """SELECT event_id, user_id, CAST(session_seq AS BIGINT) AS session_seq FROM (
