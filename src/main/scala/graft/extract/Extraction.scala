@@ -47,7 +47,13 @@ object Extraction {
       tokenLimit: Int = 16385, // reference default model limit, app.py:56-67
       maxBytes: Int = 10 * 1024 * 1024, // PDF cap analog, python.py:493
       attempts: Int = 3,
-      langWhitelist: Set[String] = Set.empty // empty = all
+      langWhitelist: Set[String] = Set.empty, // empty = all
+      // over-limit docs: chunk at line boundaries and extract each
+      // chunk (true), or quarantine whole (false — the reference's
+      // skip behavior). Chunking preserves the full triple set because
+      // every extractor is line-local; per-doc dedup/cap semantics are
+      // re-applied after the chunk merge.
+      chunkOversize: Boolean = false
   )
 
   /** The single extraction pass. `errCount`/`okCount` are optional
@@ -70,24 +76,36 @@ object Extraction {
         if (f.content.length > cfg.maxBytes)
           Iterator.single(quarantine(f, "oversize_bytes",
             okCount = None, errCount))
-        else if (estimateTokens(f.content) > cfg.tokenLimit)
+        else if (estimateTokens(f.content) > cfg.tokenLimit && !cfg.chunkOversize)
           Iterator.single(quarantine(f, "over_token_limit",
             okCount = None, errCount))
         else {
+          val splitLines = RuleExtractor.split(f.content)
+          val oversize = estimateTokens(f.content) > cfg.tokenLimit
+          val chunks: Seq[(Int, Array[String])] =
+            if (!oversize) Seq((0, splitLines))
+            else chunkLines(splitLines, cfg.tokenLimit)
           val out = Vector.newBuilder[Triple]
           var failed: Option[String] = None
-          // split once, share across the whole registry
-          val splitLines = RuleExtractor.split(f.content)
-          registry.iterator.filter(_.appliesTo(f.lang)).foreach { ex =>
-            var attempt = 0; var done = false
-            while (!done && attempt < cfg.attempts) {
-              attempt += 1
-              try { out ++= ex.extract(f, splitLines); done = true }
-              catch {
-                case e: Exception if attempt >= cfg.attempts =>
-                  failed = Some(s"${ex.name}: ${e.getMessage}")
+          chunks.foreach { case (offset, chunkLs) =>
+            val chunkFile =
+              if (offset == 0 && chunkLs.length == splitLines.length) f
+              else f.copy(content = chunkLs.mkString("\n"))
+            registry.iterator.filter(_.appliesTo(f.lang)).foreach { ex =>
+              var attempt = 0; var done = false
+              while (!done && attempt < cfg.attempts) {
+                attempt += 1
+                try {
+                  val ts = ex.extract(chunkFile, chunkLs)
+                  out ++= (if (offset == 0) ts
+                           else ts.map(t => t.copy(line = t.line + offset)))
                   done = true
-                case _: Exception => // retry (tenacity analog)
+                } catch {
+                  case e: Exception if attempt >= cfg.attempts =>
+                    failed = Some(s"${ex.name}: ${e.getMessage}")
+                    done = true
+                  case _: Exception => // retry (tenacity analog)
+                }
               }
             }
           }
@@ -98,11 +116,56 @@ object Extraction {
                 "extractor_failure", 0.0, f.repo, f.path, f.commit, msg, 0))
             case None =>
               okCount.foreach(_.add(1))
-              out.result().iterator
+              val merged =
+                if (chunks.length == 1) out.result()
+                else normalizeDoc(out.result())
+              merged.iterator
           }
         }
       }
     }
+  }
+
+  /** Greedy line-boundary chunking under the token estimate. Lines are
+    * never split, so a single line over the limit forms its own
+    * (over-limit) chunk — acceptable because extraction is regex work,
+    * not a context window.
+    */
+  private[graft] def chunkLines(ls: Array[String],
+                                  tokenLimit: Int): Seq[(Int, Array[String])] = {
+    val chunks = Vector.newBuilder[(Int, Array[String])]
+    var start = 0
+    var tokens = 0
+    var i = 0
+    while (i < ls.length) {
+      val t = estimateTokens(ls(i)) max 1
+      if (tokens + t > tokenLimit && i > start) {
+        chunks += ((start, ls.slice(start, i)))
+        start = i
+        tokens = 0
+      }
+      tokens += t
+      i += 1
+    }
+    if (start < ls.length) chunks += ((start, ls.slice(start, ls.length)))
+    chunks.result()
+  }
+
+  /** Re-apply per-DOC dedup/cap semantics after a chunk merge (each
+    * chunk applied them locally): domains/tags/compliance dedupe on
+    * obj keeping the first line; references keep the first 20 in line
+    * order.
+    */
+  private[graft] def normalizeDoc(ts: Vector[Triple]): Vector[Triple] = {
+    val (norm, rest) = ts.partition(t =>
+      t.pred == "mentions_domain" || t.pred == "tagged" ||
+        t.pred == "flags_compliance" || t.pred == "references")
+    val byPred = norm.groupBy(_.pred)
+    val fixed = byPred.toVector.sortBy(_._1).flatMap { case (pred, xs) =>
+      val inOrder = xs.sortBy(t => (t.line, t.obj)).distinctBy(_.obj)
+      if (pred == "references") inOrder.take(20) else inOrder
+    }
+    rest ++ fixed
   }
 
   private def quarantine(f: SourceFile, reason: String,

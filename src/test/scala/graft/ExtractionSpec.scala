@@ -70,4 +70,32 @@ class ExtractionSpec extends SparkSpec {
     val (p, r) = GoldenOracle.precisionRecall(gotTriples(2000), golden)
     assert(p == 1.0 && r == 1.0)
   }
+
+  test("chunked extraction of oversize docs recovers the full triple set") {
+    val raw = Extraction.extract(ds,
+      Extraction.Config(tokenLimit = 2000, chunkOversize = true))
+    assert(Extraction.quarantined(raw).isEmpty,
+      "chunking must replace quarantining")
+    val got = Extraction.triples(raw)
+      .select("subj", "pred", "obj").as[(String, String, String)]
+      .collect().map { case (s, p, o) => G(s, p, o) }.toSet
+    // golden with NO limit: chunking should lose nothing
+    val golden = GoldenOracle.forCorpus(corpus)
+    val (p, r) = GoldenOracle.precisionRecall(got, golden)
+    withClue(s"p=$p r=$r missing=${(golden -- got).take(3)} extra=${(got -- golden).take(3)}") {
+      assert(p == 1.0 && r == 1.0)
+    }
+  }
+
+  test("chunkLines respects the limit and is a partition of the lines") {
+    val ls = Array.tabulate(100)(i => ("w " * (i % 7 + 1)).trim)
+    val chunks = Extraction.chunkLines(ls, tokenLimit = 10)
+    assert(chunks.flatMap(_._2).toSeq == ls.toSeq)
+    assert(chunks.map(_._1).toSeq ==
+      chunks.scanLeft(0)((acc, c) => acc + c._2.length).init)
+    chunks.foreach { case (_, c) =>
+      assert(c.length == 1 ||
+        c.map(l => Extraction.estimateTokens(l) max 1).sum <= 10)
+    }
+  }
 }
