@@ -41,6 +41,19 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.9, s"minhash recall $recall too low (exact=${exact.size})")
   }
 
+  test("stop-shingle blocking yields a conservative subset of full pairs") {
+    val full = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // aggressive stop-shingle filter: common shingles dropped from the
+    // blocking join; intersections can only shrink → pairs ⊆ full
+    val blocked = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.5,
+        maxDocsPerShingle = 3L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(blocked.subsetOf(full), (blocked -- full).take(3))
+    // near-dup docs share many RARE shingles, so the strong pairs survive
+    assert(blocked.nonEmpty)
+  }
+
   test("cosineTo matches plain-Scala cosine") {
     val rows = embs.limit(5).select("vec_id", "embedding")
       .as[(Long, Seq[Float])].collect()
