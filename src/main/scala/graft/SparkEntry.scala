@@ -142,7 +142,8 @@ object SparkEntry {
     }),
     "customers_without_orders" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Relational.customersWithoutOrders(t(dir, "customer"), t(dir, "orders"))
+      Relational.customersWithoutOrders(t(dir, "customer"), t(dir, "orders"),
+        minPrice = 250000.0)
     }),
     "events_daily" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -384,7 +385,8 @@ object SparkEntry {
         |  FROM orders) WHERE rank <= 5""".stripMargin,
     "customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 250000)""".stripMargin,
     "events_daily" ->
       """SELECT CAST(ts AS DATE) AS day,
         |  count(*) FILTER (WHERE event_type = 'click') AS n_click,

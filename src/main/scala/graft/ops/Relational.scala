@@ -46,10 +46,13 @@ object Relational {
       .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
   }
 
-  /** Customers with no orders — anti join (NOT EXISTS). */
-  def customersWithoutOrders(customer: DataFrame,
-                             orders: DataFrame): DataFrame =
-    customer.join(orders, col("c_custkey") === col("o_custkey"), "left_anti")
+  /** Customers with no order above `minPrice` — anti join
+    * (NOT EXISTS) with a pushed-down predicate on the probe side.
+    */
+  def customersWithoutOrders(customer: DataFrame, orders: DataFrame,
+                             minPrice: Double = 0.0): DataFrame =
+    customer.join(orders.filter(col("o_totalprice") > minPrice),
+        col("c_custkey") === col("o_custkey"), "left_anti")
       .select("c_custkey", "c_name")
 
   /** Daily event pivot: conditional aggregation per event type
