@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output goes straight to this process's stdout/stderr —
+// no "[info] "/"[error] " log prefixes. The round driver parses the
+// final stdout line of `sbt -batch "runMain graft.Bench"` as JSON, so
+// the metric line must arrive bare and last (with showSuccess off,
+// sbt appends no "[success] Total time" trailer after it).
+outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -2,14 +2,25 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Round benchmark. Prints ONE JSON line:
+/** Round benchmark. Emits ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec",
-  *    "queries":{<name>:<sec>,...},"sf":"<dir>",
+  *    "queries":{<name>:<sec>,...},"failed":[...],"sf":"<dir>",
   *    "pipeline":{"files":N,"triples":T,"triplesPerSec":R,"cpus":C}}
+  *
+  * Delivery is belt-and-braces so the round driver can always parse it
+  * (round 1 recorded parsed:null because the line reached the driver
+  * wrapped in sbt's "[info] " prefix):
+  *  - written to BENCH.json in the working directory (repo root under
+  *    sbt; override with SPARK_GRAFT_BENCH_OUT), and
+  *  - printed as the FINAL bare stdout line, after spark.stop(), with
+  *    build.sbt routing forked-run stdout through unprefixed
+  *    StdoutOutput and suppressing sbt's trailing [success] line.
   *
   * Two workloads:
   *  - every SparkEntry query on SPARK_GRAFT_SF_DIR (relational + text +
-  *    dedup + similarity surface), timed individually;
+  *    dedup + similarity surface), timed individually; a query that
+  *    throws is recorded in "failed" (and its wall time kept) instead
+  *    of silently passing as a timing entry;
   *  - the 4-stage KG pipeline on a generated bench corpus
   *    (SPARK_GRAFT_BENCH_FILES, default 200k files) — the north-rule
   *    throughput metric (triples/sec). Scaling runs: execute this main
@@ -29,13 +40,23 @@ object Bench {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // plain FS checkpoint manager: the checksum manager's per-query
+      // thread pools log "Thread pool did not terminate" ERRORs at
+      // shutdown, polluting the stdout the driver parses
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      try { fn(spark, sfDir).count() }
+      catch { case _: Throwable => failed += name }
+      val sec = (System.nanoTime() - t0) / 1e9
+      // drop blocks persisted inside operators (dedup/LSH) so later
+      // queries aren't measured under another query's memory pressure
+      spark.catalog.clearCache()
+      name -> sec
     }
 
     // KG pipeline throughput over a materialized parquet corpus (the
@@ -59,9 +80,21 @@ object Bench {
     val qs = allQ.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = allQ.map(_._2).sum
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val pipeline = s"""{"files":$benchFiles,"triples":${res.triples},""" +
       s""""triplesPerSec":${rate.toLong},"cpus":$cpus}"""
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","pipeline":$pipeline}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline":$pipeline}"""
+
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case _: Throwable => /* stdout below is the primary channel */ }
+
+    // make sure nothing (executor cleanup, checkpoint managers) logs
+    // after the metric line: stop everything first, print last
+    spark.streams.active.foreach(_.stop())
     spark.stop()
+    println(line)
+    System.out.flush()
   }
 }

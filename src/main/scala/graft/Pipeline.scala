@@ -27,7 +27,13 @@ object Pipeline {
       extraction: Extraction.Config = Extraction.Config(),
       link: Linking.Config = Linking.Config(),
       hotThreshold: Long = 100000L,
-      resume: Boolean = true
+      resume: Boolean = true,
+      // extraction partition count (= extract-stage task and output-
+      // file count). Defaults to the cluster's defaultParallelism;
+      // size it to the corpus the way you'd size maxPartitionBytes at
+      // 100 TB — a 2k-file smoke corpus has no use for 32 near-empty
+      // tasks × pred partition dirs.
+      arrangePartitions: Option[Int] = None
   )
 
   final case class Result(
@@ -55,7 +61,8 @@ object Pipeline {
     val raw = Snapshots.stage(spark, runDir, "extract", runId, resume,
       partitionBy = Seq("pred")) {
       val arranged = files.repartitionByRange(
-        files.sparkSession.sparkContext.defaultParallelism,
+        cfg.arrangePartitions.getOrElse(
+          files.sparkSession.sparkContext.defaultParallelism),
         $"repo", $"path")
       Extraction.extract(arranged, cfg.extraction).toDF()
     }
@@ -68,9 +75,16 @@ object Pipeline {
       Linking.entities(triples.as[Triple])
     }
 
-    // Stage 2b — link edges (exact-norm + LSH candidates + scoring)
+    // Stage 2b — link edges (exact-norm + LSH candidates + scoring).
+    // Fuzzy-pred presence comes free from the extract manifest's pred=
+    // partition lineage — no emptiness probe job.
+    val fuzzyNonEmpty = Snapshots.readManifest(runDir, "extract").fileRows
+      .exists { case (f, n) =>
+        n > 0 && Linking.FuzzyPreds.exists(p => f.startsWith(s"pred=$p/"))
+      }
     val links = Snapshots.stage(spark, runDir, "link_edges", runId, resume) {
-      Linking.linkEdges(ents, cfg.link)
+      Linking.linkEdges(ents, cfg.link, Some(fuzzyNonEmpty),
+        sizeHint = Some(Snapshots.readManifest(runDir, "entities").rows))
     }
 
     // Stage 3 — connected components → canonical id per entity.

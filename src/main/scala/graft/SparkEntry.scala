@@ -258,8 +258,13 @@ object SparkEntry {
       val runDir = java.nio.file.Files
         .createTempDirectory("graft-kgq").toString
       s.sparkContext.setCheckpointDir(s"$runDir/_ck")
+      // 2k-file smoke corpus: size the extract stage to the data
+      // (4 tasks ≈ 500 files each) instead of defaultParallelism —
+      // at this n the pipeline cost is otherwise pure task/file
+      // overhead (near-empty tasks × pred partition dirs)
       graft.Pipeline.run(s, graft.fixtures.FilesGen.dataset(s, 2000L),
-        runDir, "kgq", graft.Pipeline.Config(resume = false))
+        runDir, "kgq",
+        graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
       graft.store.Snapshots.read(s, runDir, "nodes")
         .select("canonical", "kind", "memberCount")
     }),

@@ -25,12 +25,15 @@ object ConnectedComponents {
   /** Link graphs below this edge count are solved with a driver-side
     * union-find instead of the iterative star joins: the alternating
     * algorithm costs a handful of shuffle rounds regardless of size,
-    * which is pure overhead when the edge set fits in a few hundred MB
-    * on the driver (the same small-side reasoning AQE applies to
-    * broadcast joins). Both paths produce identical assignments
-    * (comp = min node id of the component).
+    * which is pure overhead when the edge set fits comfortably on the
+    * driver (the same small-side reasoning AQE applies to broadcast
+    * joins). Edges are collected as packed primitive long arrays
+    * (16 bytes/edge + LongMap entries), so 2M edges is ~100 MB of
+    * driver heap — bounded well below driver memory. Both paths
+    * produce identical assignments (comp = min node id of the
+    * component).
     */
-  val LocalEdgeThreshold = 10000000L
+  val LocalEdgeThreshold = 2000000L
 
   /** edges: (src: Long, dst: Long). Returns (id, comp) for every node
     * that appears in `edges`, comp = min node id of its component.
@@ -89,8 +92,15 @@ object ConnectedComponents {
   private def runLocal(e: DataFrame): Result = {
     val spark = e.sparkSession
     import spark.implicits._
-    val edges = e.as[(Long, Long)].collect()
-    val parent = scala.collection.mutable.HashMap[Long, Long]()
+    // collect as one packed Array[Long] per partition (src,dst
+    // interleaved) — no boxed Tuple2/Row per edge on the driver
+    val packed: Array[Array[Long]] = e.as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { case (a, b) => buf += a; buf += b }
+        Iterator.single(buf.result())
+      }.collect()
+    val parent = scala.collection.mutable.LongMap.empty[Long]
     def find(x: Long): Long = {
       var r = x
       while (parent.getOrElse(r, r) != r) r = parent(r)
@@ -98,12 +108,20 @@ object ConnectedComponents {
       while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
       r
     }
-    edges.foreach { case (a, b) =>
-      val (ra, rb) = (find(a), find(b))
-      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    packed.foreach { arr =>
+      var i = 0
+      while (i < arr.length) {
+        val ra = find(arr(i)); val rb = find(arr(i + 1))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        i += 2
+      }
     }
-    val nodes = edges.iterator.flatMap(t => Iterator(t._1, t._2)).toSet
-    val assigns = nodes.iterator.map(v => (v, find(v))).toSeq
+    val nodes = scala.collection.mutable.LongMap.empty[Unit]
+    packed.foreach { arr =>
+      var i = 0
+      while (i < arr.length) { nodes(arr(i)) = (); i += 1 }
+    }
+    val assigns = nodes.keysIterator.map(v => (v, find(v))).toSeq
     Result(assigns.toDF("id", "comp"), 0)
   }
 

@@ -73,15 +73,17 @@ object Extraction {
       // pooled per partition: compiled regexes shared across rows
       val registry = ExtractorRegistry.all
       it.flatMap { f =>
+        // content is the fat column: estimate tokens exactly once per doc
+        lazy val estTokens = estimateTokens(f.content)
         if (f.content.length > cfg.maxBytes)
           Iterator.single(quarantine(f, "oversize_bytes",
             okCount = None, errCount))
-        else if (estimateTokens(f.content) > cfg.tokenLimit && !cfg.chunkOversize)
+        else if (estTokens > cfg.tokenLimit && !cfg.chunkOversize)
           Iterator.single(quarantine(f, "over_token_limit",
             okCount = None, errCount))
         else {
           val splitLines = RuleExtractor.split(f.content)
-          val oversize = estimateTokens(f.content) > cfg.tokenLimit
+          val oversize = estTokens > cfg.tokenLimit
           val chunks: Seq[(Int, Array[String])] =
             if (!oversize) Seq((0, splitLines))
             else chunkLines(splitLines, cfg.tokenLimit)

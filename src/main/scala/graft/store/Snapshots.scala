@@ -88,6 +88,11 @@ object Snapshots {
 
   /** Footer-derived per-file row counts for every *.parquet under
     * `dir`, keyed by dir-relative path.
+    *
+    * Footers are opened on a bounded driver-side pool: a partitionBy
+    * layout produces (tasks × partition values) small files, and the
+    * ~10 ms per-open FS overhead is pure latency — serial reads cost
+    * seconds per stage and dominated small pipeline runs.
     */
   def footerCounts(dir: String): Map[String, Long] = {
     import org.apache.hadoop.conf.Configuration
@@ -95,16 +100,28 @@ object Snapshots {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val base = Paths.get(dir)
-    val files = Files.walk(base).iterator().asScalaIterator()
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .toVector
+    val walk = Files.walk(base)
+    val files =
+      try walk.iterator().asScalaIterator()
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .toVector
+      finally walk.close()
     val conf = new Configuration()
-    files.map { p =>
-      val reader = ParquetFileReader.open(
-        HadoopInputFile.fromPath(new HPath(p.toString), conf))
-      try base.relativize(p).toString -> reader.getRecordCount
-      finally reader.close()
-    }.toMap
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(16, files.size)))
+    try {
+      val futures = files.map { p =>
+        pool.submit(new java.util.concurrent.Callable[(String, Long)] {
+          def call(): (String, Long) = {
+            val reader = ParquetFileReader.open(
+              HadoopInputFile.fromPath(new HPath(p.toString), conf))
+            try base.relativize(p).toString -> reader.getRecordCount
+            finally reader.close()
+          }
+        })
+      }
+      futures.map(_.get()).toMap
+    } finally pool.shutdown()
   }
 
   private implicit class IterAdapter[T](it: java.util.Iterator[T]) {
