@@ -165,6 +165,15 @@ object SparkEntry {
       t(dir, "events").select(col("event_id"),
         get_json_object(col("props"), "$.k").cast("long").as("k"))
     }),
+    // the emit direction (label_and_rate demands strict JSON output):
+    // to_json(struct(...)) — both engines serialize compact JSON with
+    // declared field order
+    "json_emit" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "events").select(col("event_id"),
+        to_json(struct(col("event_id"), col("event_type"), col("user_id")))
+          .as("js"))
+    }),
     "profile_rollup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "lineitem")
@@ -197,6 +206,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.minhashPairs(t(dir, "documents"), n = 3, maxDist = 0.5)
     }),
+    // the scale path with an oracle: MinHash banding generates
+    // candidates, exact set-Jaccard re-scores them — output is exact,
+    // so DuckDB's brute-force twin verifies it
+    "minhash_neardup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashNearDupPairs(t(dir, "documents"), n = 3, minJ = 0.5)
+    }),
     // ---- similarity search (training-data ops) ----
     "cos_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -205,10 +221,22 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       Similarity.cosineTopK(embs, q, 10)
     }),
-    "cos_neardup" -> ((s, dir) => {
+    // bucketed ANN near-dup over a synthesized near-duplicate corpus:
+    // the perturbation is pure arithmetic on (vec_id, embedding), so
+    // DuckDB recomputes the identical corpus and verifies the pairs
+    // exactly; RP-LSH prunes candidates, exact cosine re-scores them
+    // (the testdata embeddings are near-random — max pair cosine 0.6 —
+    // so near-dup structure has to be planted to be non-vacuous)
+    "lsh_neardup" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Similarity.cosineNearDupPairs(
-        t(dir, "embeddings").filter(col("vec_id") < 100), 0.35)
+      val base = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      val pert = base.filter(col("vec_id") % 5 === 0)
+        .withColumnRenamed("vec_id", "orig")
+        .select((col("orig") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> x * (1 + 0.01 * (((orig + i) % 3) - 1)))")
+            .as("embedding"))
+      Similarity.nearDupPairs(base.unionByName(pert), 0.98)
     }),
     "lsh_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -275,9 +303,17 @@ object SparkEntry {
         graft.functions.functions.rolling_minhash(col("text"), 16).as("fp"))
     }),
     // ---- multimodal (binary payloads + typed metadata; stub codec) ----
+    // metadata aggregation over a media table derived from `documents`
+    // by pure integer arithmetic — SQL-expressible, so the groupBy has
+    // a DuckDB twin recomputing the same derivation (the binary
+    // payload never reaches the aggregate: column pruning, asserted in
+    // MultimodalSpec)
     "media_profile" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Multimodal.mediaProfile(Multimodal.syntheticMedia(s, 2000L).toDF())
+      Multimodal.mediaProfile(
+          Multimodal.mediaFromDocuments(t(dir, "documents")).toDF())
+        .select(col("kind"), col("n"), col("avg_duration_ms"),
+          col("max_width").cast("long").as("max_width"))
     }),
     "media_sim_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -465,13 +501,52 @@ object SparkEntry {
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
-    "cos_neardup" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])), 6) AS cos
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE a.vec_id < 100 AND b.vec_id < 100
-        |  AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-        |    CAST(b.embedding AS DOUBLE[])) >= 0.35""".stripMargin
+    // brute-force twin of the LSH-bucketed path: recompute the planted
+    // near-dup corpus with the identical arithmetic, compare all pairs
+    "lsh_neardup" ->
+      """WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pert AS (SELECT orig + 1000000 AS vec_id,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1 + 0.01 * (((orig + i) % 3) - 1))) AS v
+        |  FROM (SELECT vec_id AS orig, v FROM base WHERE vec_id % 5 = 0)),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM pert)
+        |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+        |  round(list_cosine_similarity(x.v, y.v), 6) AS cos
+        |FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |WHERE list_cosine_similarity(x.v, y.v) >= 0.98""".stripMargin,
+    // brute-force twin of the MinHash-banded path (same SQL shape as
+    // dedup_ngram_jaccard: exact Jaccard over distinct word 3-shingles)
+    "minhash_neardup" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+        |FROM pairs
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+    "json_emit" ->
+      """SELECT event_id, to_json(struct_pack(event_id := event_id,
+        |  event_type := event_type, user_id := user_id)) AS js
+        |FROM events""".stripMargin,
+    "media_profile" ->
+      """WITH m AS (SELECT
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 0 THEN 64 + (doc_id % 8) * 64
+        |       WHEN doc_id % 3 = 1 THEN 0 ELSE 320 END AS width,
+        |  CASE WHEN doc_id % 3 = 1 THEN 1000 + (doc_id % 60) * 500
+        |       WHEN doc_id % 3 = 2 THEN 1000 + (doc_id % 30) * 1000
+        |       ELSE 0 END AS duration_ms
+        |FROM documents)
+        |SELECT kind, count(*) AS n,
+        |  round(avg(duration_ms), 2) AS avg_duration_ms,
+        |  CAST(max(width) AS BIGINT) AS max_width
+        |FROM m GROUP BY 1""".stripMargin
   )
 }

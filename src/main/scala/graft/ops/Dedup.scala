@@ -115,6 +115,34 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  /** Near-dup pairs at scale: MinHash-LSH banding for candidate
+    * generation (bounded buckets, no all-pairs join), then EXACT set
+    * Jaccard re-scoring of each candidate over the true shingle sets
+    * (array_intersect on collect_set — no TF hash collisions), so the
+    * output is exact over the surviving candidates and
+    * oracle-checkable. The LSH distance filter runs loose (`slack`) so
+    * the exact filter decides membership at the threshold boundary.
+    */
+  def minhashNearDupPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
+                          numHashTables: Int = 8, seed: Long = 42L,
+                          slack: Double = 0.1,
+                          id: String = "doc_id",
+                          text: String = "text"): DataFrame = {
+    val cand = minhashPairs(docs, n, math.min(1.0, 1.0 - minJ + slack),
+        numHashTables, seed, id, text)
+      .select(col("id_a"), col("id_b"))
+    val sets = wordShingles(docs, n, id, text)
+      .groupBy(col(id)).agg(collect_set(col("shingle")).as("sh"))
+    val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
+    val uni = (size(col("a.sh")) + size(col("b.sh"))).cast("double") - inter
+    cand
+      .join(sets.as("a"), cand("id_a") === col(s"a.$id"))
+      .join(sets.as("b"), cand("id_b") === col(s"b.$id"))
+      .select(col("id_a"), col("id_b"), (inter / uni).as("j_raw"))
+      .filter(col("j_raw") >= minJ)
+      .select(col("id_a"), col("id_b"), round(col("j_raw"), 6).as("jaccard"))
+  }
+
   /** MinHash-LSH near-dup candidates over word shingles (MLlib),
     * Jaccard distance ≤ maxDist. Deterministic via fixed seed.
     */

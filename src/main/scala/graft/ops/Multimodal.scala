@@ -59,6 +59,32 @@ object Multimodal {
     }
   }
 
+  /** Media table derived from a documents table: payload = the text's
+    * UTF-8 bytes, metadata a pure integer-arithmetic function of
+    * doc_id — deterministic AND SQL-expressible, so metadata-level
+    * operators over it (mediaProfile) can be verified by a relational
+    * oracle recomputing the same derivation from `documents`.
+    */
+  def mediaFromDocuments(docs: org.apache.spark.sql.DataFrame,
+                         id: String = "doc_id",
+                         text: String = "text"): Dataset[MediaFile] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col(id).cast("long"), col(text)).as[(Long, String)].map {
+      case (i, t) =>
+        val payload = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        (i % 3) match {
+          case 0 => MediaFile(i, "image",
+            MediaMeta("png", (64 + (i % 8) * 64).toInt, (64 + (i % 6) * 64).toInt,
+              0L, 0), payload)
+          case 1 => MediaFile(i, "audio",
+            MediaMeta("wav", 0, 0, 1000L + (i % 60) * 500L, 16000), payload)
+          case _ => MediaFile(i, "video",
+            MediaMeta("mp4", 320, 240, 1000L + (i % 30) * 1000L, 0), payload)
+        }
+    }
+  }
+
   /** The per-partition "codec" — pooled once per task like the
     * reference's LLM client (/root/reference/python.py:89-111). A real
     * implementation holds native decoder handles here.

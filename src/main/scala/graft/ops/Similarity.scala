@@ -37,11 +37,13 @@ object Similarity {
       .orderBy(col("cos").desc, col(id).asc)
       .limit(k)
 
-  /** Embedding near-duplicate pairs: cosine ≥ minCos, via a bounded
-    * self-join (exact; for the LSH-bucketed scale path see lshTopK /
-    * lshNearDupPairs).
+  /** TEST-ORACLE ONLY: exact near-duplicate pairs via a cartesian
+    * self-join — O(n²), never call this on an unbounded table. The
+    * production operator is [[nearDupPairs]] (LSH bucket join + exact
+    * re-score); this stays as the brute-force reference its recall is
+    * verified against.
     */
-  def cosineNearDupPairs(embs: DataFrame, minCos: Double,
+  private[graft] def cosineNearDupPairs(embs: DataFrame, minCos: Double,
                          id: String = "vec_id",
                          emb: String = "embedding"): DataFrame = {
     val dotAB = aggregate(zip_with(col(s"a.$emb"), col(s"b.$emb"),
@@ -56,17 +58,20 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
-  /** L2-normalized MLlib vectors for the LSH path. */
+  /** L2-normalized MLlib vectors for the LSH path (accepts float or
+    * double arrays — normalized to double before the UDF boundary).
+    */
   private def withUnitVectors(embs: DataFrame, id: String,
                               emb: String): DataFrame = {
     val spark = embs.sparkSession
     import spark.implicits._
-    val toVec = udf { (a: Seq[Float]) =>
-      val arr = a.map(_.toDouble).toArray
+    val toVec = udf { (a: Seq[Double]) =>
+      val arr = a.toArray
       val n = math.sqrt(arr.map(x => x * x).sum)
       Vectors.dense(if (n == 0) arr else arr.map(_ / n))
     }
-    embs.select(col(id), toVec(col(emb)).as("unit"))
+    embs.select(col(id),
+      toVec(expr(s"transform($emb, x -> cast(x as double))")).as("unit"))
   }
 
   /** Approximate top-k by cosine via random-projection LSH buckets. */
@@ -86,6 +91,39 @@ object Similarity {
     // on unit vectors: cos = 1 - d^2 / 2
     nn.select(col(id),
       round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
+  }
+
+  /** Near-duplicate pairs at scale: random-projection LSH bucket join
+    * for candidate generation, then EXACT cosine re-scoring of each
+    * candidate as a codegen'd column expression — the bucketed path
+    * prunes the O(n²) pair space; the re-score makes the output exact
+    * over the surviving candidates (and therefore oracle-checkable).
+    * The LSH distance filter runs slightly loose (minCos − slack) so
+    * the exact filter, not floating-point noise at the boundary,
+    * decides membership.
+    */
+  def nearDupPairs(embs: DataFrame, minCos: Double,
+                   bucketLength: Double = 0.5, numHashTables: Int = 6,
+                   seed: Long = 42L, slack: Double = 0.01,
+                   id: String = "vec_id",
+                   emb: String = "embedding"): DataFrame = {
+    val cand = lshNearDupPairs(embs, math.max(-1.0, minCos - slack),
+        bucketLength, numHashTables, seed, id, emb)
+      .select(col("id_a"), col("id_b"))
+    val dotAB = aggregate(zip_with(col(s"a.$emb"), col(s"b.$emb"),
+      (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    def norm(side: String) = sqrt(aggregate(transform(col(s"$side.$emb"),
+      x => x.cast("double") * x.cast("double")), lit(0.0), (acc, x) => acc + x))
+    cand
+      .join(embs.as("a"), cand("id_a") === col(s"a.$id"))
+      .join(embs.as("b"), cand("id_b") === col(s"b.$id"))
+      .select(col("id_a"), col("id_b"),
+        (dotAB / (norm("a") * norm("b"))).as("cos_raw"))
+      // filter on the unrounded value (like a SQL twin would), round
+      // only for output
+      .filter(col("cos_raw") >= minCos)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
 
   /** Approximate near-dup pairs via LSH self-join on unit vectors. */

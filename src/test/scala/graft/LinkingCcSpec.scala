@@ -42,6 +42,19 @@ class LinkingCcSpec extends SparkSpec {
       groups("The Pragmatic Programmer by Andrew Hunt"))
   }
 
+  test("exact small-set path emits the same link edges as the LSH path") {
+    // sizeHint below exactSmallThreshold routes through the exact
+    // shingle-block join; on fixture scale (LSH recall 1.0) the two
+    // paths must produce identical edge sets
+    val viaLsh = Linking.linkEdges(ents)
+      .as[(Long, Long)].collect().toSet
+    val viaExact = Linking.linkEdges(ents, Linking.Config(),
+        fuzzyNonEmpty = Some(true), sizeHint = Some(1000L))
+      .as[(Long, Long)].collect().toSet
+    assert(viaExact == viaLsh,
+      s"missing=${(viaLsh -- viaExact).take(3)} extra=${(viaExact -- viaLsh).take(3)}")
+  }
+
   test("distinct entities stay separate") {
     assert(groups("docs.example.org") != groups("api.acme.io"))
     assert(groups("docs.example.org") != groups("wiki.sample.net"))

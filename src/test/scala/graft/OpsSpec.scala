@@ -82,6 +82,48 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"lsh recall $recall too low: exact=$exact approx=$approx")
   }
 
+  test("nearDupPairs (LSH + exact re-score) equals brute force on the planted near-dup corpus") {
+    // same corpus the lsh_neardup query plants: perturbed copies of
+    // every 5th vector at cos ≈ 0.9999 against a ≤0.6 random background
+    val base = embs.select($"vec_id",
+      expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val pert = base.filter($"vec_id" % 5 === 0)
+      .withColumnRenamed("vec_id", "orig")
+      .select(($"orig" + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * (1 + 0.01 * (((orig + i) % 3) - 1)))")
+          .as("embedding"))
+    val all = base.unionByName(pert)
+    val exact = Similarity.cosineNearDupPairs(all, 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size == 100, s"expected 100 planted pairs, got ${exact.size}")
+    val got = Similarity.nearDupPairs(all, 0.98)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == exact,
+      s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+  }
+
+  test("minhashNearDupPairs (banding + exact re-score) equals exact ngram Jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val got = Dedup.minhashNearDupPairs(docs, n = 3, minJ = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == exact,
+      s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
+  }
+
+  test("ngram-Jaccard oracle pairing is valid: max shingle df stays far below the stop-shingle cap") {
+    // the dedup_ngram_jaccard / minhash_neardup DuckDB twins compute
+    // exact Jaccard with NO df filter; the Spark operator drops
+    // shingles shared by > maxDocsPerShingle (default 1000) docs. The
+    // pairing is sound only while no shingle crosses the cap — assert
+    // that invariant on the gate's own data.
+    val maxDf = Dedup.wordShingles(docs, 3)
+      .groupBy("shingle").count().agg(max("count")).head().getLong(0)
+    assert(maxDf <= 100L,
+      s"max shingle df $maxDf approaches the 1000-doc stop-shingle cap; " +
+        "re-model the oracle SQL before raising data scale")
+  }
+
   test("lshNearDupPairs agrees with exact pairs at high cosine") {
     val subset = embs.filter($"vec_id" < 100)
     val exact = Similarity.cosineNearDupPairs(subset, 0.35)
