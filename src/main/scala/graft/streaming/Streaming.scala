@@ -46,25 +46,50 @@ object Streaming {
     * ops.Relational.sessionize. Within a trigger the group iterator is
     * unordered, so events are sorted by (ts, event_id) before the gap
     * scan; state carries (last ts, session counter) across triggers.
+    *
+    * State is BOUNDED: the input is watermarked and each key arms an
+    * EventTimeTimeout at lastTs + gap, so a user idle past the gap
+    * (plus the watermark delay) has its state evicted instead of
+    * accumulating forever — at production scale state size tracks the
+    * ACTIVE population, not the all-time user count. The trade: a user
+    * returning after eviction restarts at session_seq 1 (the per-user
+    * lifetime counter is forgotten with the state), which is the
+    * standard bounded-state sessionization contract; events older than
+    * the watermark are dropped as late.
     */
-  def sessionizeStream(events: Dataset[Ev], gapSeconds: Long)
+  def sessionizeStream(events: Dataset[Ev], gapSeconds: Long,
+                       watermarkDelay: String = "30 minutes")
   : Dataset[SessionAssign] = {
     import events.sparkSession.implicits._
-    events.groupByKey(_.user_id)
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState[SessionState, SessionAssign](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, it: Iterator[Ev], state: GroupState[SessionState]) =>
-          val sorted = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
-          var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
-          val out = sorted.map { e =>
-            val tsUs = micros(e.ts)
-            val isNew = st.lastTsUs == Long.MinValue ||
-              tsUs - st.lastTsUs > gapSeconds * 1000000L
-            st = SessionState(tsUs, if (isNew) st.seq + 1 else st.seq)
-            SessionAssign(e.event_id, user, st.seq)
+          if (state.hasTimedOut) {
+            // idle past the gap: the session is closed, drop the state
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = it.toVector.sortBy(e => (micros(e.ts), e.event_id))
+            var st = state.getOption.getOrElse(SessionState(Long.MinValue, 0L))
+            val out = sorted.map { e =>
+              val tsUs = micros(e.ts)
+              val isNew = st.lastTsUs == Long.MinValue ||
+                tsUs - st.lastTsUs > gapSeconds * 1000000L
+              st = SessionState(tsUs, if (isNew) st.seq + 1 else st.seq)
+              SessionAssign(e.event_id, user, st.seq)
+            }
+            state.update(st)
+            // evict once the watermark passes the session's gap horizon
+            // (timeouts must be armed strictly beyond the current
+            // watermark)
+            val timeoutMs = math.max(st.lastTsUs / 1000L + gapSeconds * 1000L,
+              state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(timeoutMs)
+            out.iterator
           }
-          state.update(st)
-          out.iterator
       }
   }
 

@@ -36,6 +36,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected && streamed.nonEmpty)
   }
 
+  test("idle-user session state is evicted (bounded state), active sequences survive") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    def ev(id: Long, s: String, user: Long) =
+      Streaming.Ev(id, java.sql.Timestamp.valueOf(s), user)
+
+    val input = MemoryStream[Streaming.Ev](spark)
+    val q = Streaming.sessionizeStream(input.toDS(), gapSeconds = 60L,
+        watermarkDelay = "1 minute")
+      .toDF().writeStream.format("memory").queryName("evict_sessions")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 and user 2 each start session 1
+      input.addData(ev(1, "2026-01-01 10:00:00", 1), ev(2, "2026-01-01 10:00:00", 2))
+      q.processAllAvailable()
+      // batch 2: user 2 far in the future — watermark advances to
+      // 11:59, far past user 1's timeout (10:01) → user 1 evicted
+      input.addData(ev(3, "2026-01-01 12:00:00", 2))
+      q.processAllAvailable()
+      // batch 3: both users return after another gap. user 2's state
+      // survived (it stayed active): lifetime seq advances to 3
+      // (session 2 began at 12:00). user 1's state was evicted: it
+      // restarts at seq 1 — proof the idle key no longer holds state.
+      input.addData(ev(4, "2026-01-01 12:10:00", 1), ev(5, "2026-01-01 12:10:00", 2))
+      q.processAllAvailable()
+
+      val got = spark.table("evict_sessions")
+        .as[(Long, Long, Long)].collect().map(t => t._1 -> t._3).toMap
+      assert(got(1L) == 1L && got(2L) == 1L && got(3L) == 2L)
+      assert(got(5L) == 3L, s"active user keeps its lifetime counter: $got")
+      assert(got(4L) == 1L, s"evicted user must restart at seq 1: $got")
+
+      val removed = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsRemoved)).sum
+      assert(removed >= 1, "state store should report evicted rows")
+    } finally q.stop()
+  }
+
   test("stateful streaming sessionization == batch window sessionization") {
     val evs = streamSource()
       .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id")
