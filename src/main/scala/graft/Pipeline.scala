@@ -58,14 +58,18 @@ object Pipeline {
     // Stage 1 — extraction. repartitionByRange(repo, path) gives
     // deterministic per-partition lineage and co-locates each repo's
     // files (north star verbatim).
-    val raw = Snapshots.stage(spark, runDir, "extract", runId, resume,
+    // subj ("repo/path") is derivable — materializing it would fatten
+    // the biggest stage's parquet by ~15% and its write wall by ~20%
+    // (WriteProbe); it is dropped on write and re-derived on read
+    val raw0 = Snapshots.stage(spark, runDir, "extract", runId, resume,
       partitionBy = Seq("pred")) {
       val arranged = files.repartitionByRange(
         cfg.arrangePartitions.getOrElse(
           files.sparkSession.sparkContext.defaultParallelism),
         $"repo", $"path")
-      Extraction.extract(arranged, cfg.extraction).toDF()
+      Extraction.extract(arranged, cfg.extraction).toDF().drop("subj")
     }
+    val raw = raw0.withColumn("subj", concat($"repo", lit("/"), $"path"))
 
     // pred partition pruning: these scans never touch quarantine rows
     val triples = raw.filter($"pred" =!= Extraction.QuarantinePred)
@@ -123,7 +127,8 @@ object Pipeline {
       SkewJoin.joinUniqueRight(
           withId, assign.select($"entityId", $"canonicalId"),
           "entityId", cfg.hotThreshold,
-          leftCountHint = Some(Snapshots.readManifest(runDir, "extract").rows))
+          leftCountHint = Some(Snapshots.readManifest(runDir, "extract").rows),
+          rightCountHint = Some(Snapshots.readManifest(runDir, "assign").rows))
         .select($"subj", $"pred", $"canonicalId", $"conf",
           $"repo", $"path", $"commit")
     }

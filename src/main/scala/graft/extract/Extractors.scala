@@ -1,7 +1,6 @@
 package graft.extract
 
 import graft.{SourceFile, Triple}
-import scala.util.matching.Regex
 
 /** One rule extractor = one prompt-template family of the reference
   * re-expressed as a deterministic function SourceFile => Seq[Triple]
@@ -49,29 +48,135 @@ object RuleExtractor {
   }
 }
 
+/** Index-based scanning primitives shared by the hot extractors.
+  *
+  * The extract pass is the dominant cost at corpus scale and is
+  * memory-bandwidth-bound on allocation (round-1 scaling measurements,
+  * BENCH.md): `scala.util.matching.Regex` iteration allocates a Match
+  * + boxed iterator step per hit. These helpers scan with character
+  * indices and allocate only the emitted substrings. Each scanner
+  * mirrors the exact semantics of the regex it replaced (the regex
+  * implementations live on as an independent reference in test scope —
+  * RegexReferenceSpec asserts equivalence on the fixture corpus and on
+  * adversarial edge lines).
+  */
+private[extract] object Scan {
+  @inline def isWordChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+      (c >= '0' && c <= '9') || c == '_'
+
+  @inline def isIdentStart(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '_'
+
+  /** Java-regex \s (non-unicode): [ \t\n\x0B\f\r]. */
+  @inline def isWs(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** First index >= from with a non-\s char, or l.length. */
+  def skipWs(l: String, from: Int): Int = {
+    var i = from
+    while (i < l.length && isWs(l.charAt(i))) i += 1
+    i
+  }
+
+  /** Length of the literal `word` at `at` followed by at least one \s
+    * char (the `word\s+` regex shape); -1 if it does not match.
+    */
+  def wordThenWs(l: String, at: Int, word: String): Int = {
+    if (!l.startsWith(word, at)) return -1
+    val after = at + word.length
+    if (after >= l.length || !isWs(l.charAt(after))) -1 else after + 1
+  }
+
+  /** End (exclusive) of the \w* run starting at `from`. */
+  def wordRunEnd(l: String, from: Int): Int = {
+    var i = from
+    while (i < l.length && isWordChar(l.charAt(i))) i += 1
+    i
+  }
+
+  /** String with trailing \s stripped (the `\s*$` regex tail). */
+  def rtrimWs(s: String): String = {
+    var e = s.length
+    while (e > 0 && isWs(s.charAt(e - 1))) e -= 1
+    if (e == s.length) s else s.substring(0, e)
+  }
+}
+
 /** `imports` — the explain_code-family analog
   * (/root/reference/Demo_Prompts/explain_code/system.md:7-15): which
   * modules a source file pulls in.
   */
 object ImportsExtractor extends RuleExtractor {
+  import Scan._
   val name = "imports"
   override def appliesTo(lang: String): Boolean =
     lang == "scala" || lang == "python"
-  private val scalaImport: Regex = """^\s*import\s+([\w.{}, ]+?)\s*$""".r
-  private val pyImport: Regex = """^\s*import\s+([A-Za-z_][\w.]*)""".r
-  private val pyFrom: Regex = """^\s*from\s+([\w.]+)\s+import\b""".r
+
+  // scanner twin of `^\s*import\s+([\w.{}, ]+?)\s*$`
+  private def scalaImport(l: String): String = {
+    val at = skipWs(l, 0)
+    val rest = wordThenWs(l, at, "import")
+    if (rest < 0) return null
+    val start = skipWs(l, rest)
+    val endT = rtrimWs(l.substring(start))
+    if (endT.isEmpty) return null
+    var i = 0
+    while (i < endT.length) {
+      val c = endT.charAt(i)
+      if (!(isWordChar(c) || c == '.' || c == '{' || c == '}' ||
+            c == ',' || c == ' ')) return null
+      i += 1
+    }
+    endT.trim
+  }
+
+  // scanner twin of `^\s*import\s+([A-Za-z_][\w.]*)`
+  private def pyImport(l: String): String = {
+    val at = skipWs(l, 0)
+    val rest = wordThenWs(l, at, "import")
+    if (rest < 0) return null
+    val start = skipWs(l, rest)
+    if (start >= l.length || !isIdentStart(l.charAt(start))) return null
+    var j = start + 1
+    while (j < l.length &&
+      (isWordChar(l.charAt(j)) || l.charAt(j) == '.')) j += 1
+    l.substring(start, j)
+  }
+
+  // scanner twin of `^\s*from\s+([\w.]+)\s+import\b`
+  private def pyFrom(l: String): String = {
+    val at = skipWs(l, 0)
+    val rest = wordThenWs(l, at, "from")
+    if (rest < 0) return null
+    val start = skipWs(l, rest)
+    var j = start
+    while (j < l.length &&
+      (isWordChar(l.charAt(j)) || l.charAt(j) == '.')) j += 1
+    if (j == start) return null
+    val afterWs = skipWs(l, j)
+    if (afterWs == j) return null // `\s+` needs at least one ws char
+    if (!l.startsWith("import", afterWs)) return null
+    val b = afterWs + 6
+    if (b < l.length && isWordChar(l.charAt(b))) return null // \b
+    l.substring(start, j)
+  }
+
   def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
     val out = Vector.newBuilder[Triple]
-    for ((no, l) <- lines(ls)) f.lang match {
-      case "scala" =>
-        scalaImport.findFirstMatchIn(l).foreach(m =>
-          out += triple(f, name, m.group(1).trim, no))
-      case "python" =>
-        pyImport.findFirstMatchIn(l).foreach(m =>
-          out += triple(f, name, m.group(1), no))
-        pyFrom.findFirstMatchIn(l).foreach(m =>
-          out += triple(f, name, m.group(1), no))
-      case _ =>
+    var i = 0
+    while (i < ls.length) {
+      val l = ls(i); val no = i + 1
+      if (f.lang == "scala") {
+        val m = scalaImport(l)
+        if (m != null) out += triple(f, name, m, no)
+      } else if (f.lang == "python") {
+        val m1 = pyImport(l)
+        if (m1 != null) out += triple(f, name, m1, no)
+        val m2 = pyFrom(l)
+        if (m2 != null) out += triple(f, name, m2, no)
+      }
+      i += 1
     }
     out.result()
   }
@@ -79,39 +184,132 @@ object ImportsExtractor extends RuleExtractor {
 
 /** `defines_fn` — function definitions. */
 object DefinesExtractor extends RuleExtractor {
+  import Scan._
   val name = "defines_fn"
   override def appliesTo(lang: String): Boolean =
     lang == "scala" || lang == "python"
-  private val defRe: Regex = """\bdef\s+([A-Za-z_]\w*)""".r
-  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
-    (for ((no, l) <- lines(ls); m <- defRe.findAllMatchIn(l))
-      yield triple(f, name, m.group(1), no)).toVector
+
+  /** scanner twin of `\bdef\s+([A-Za-z_]\w*)` findAllMatchIn: emits
+    * each name and returns scanning after it (non-overlapping).
+    */
+  private[extract] def scanDefs(l: String)(emit: String => Unit): Unit = {
+    var i = l.indexOf("def")
+    while (i >= 0) {
+      var next = i + 1
+      if (i == 0 || !isWordChar(l.charAt(i - 1))) { // \b before
+        val afterWs = wordThenWs(l, i, "def")
+        if (afterWs >= 0) {
+          val start = skipWs(l, afterWs - 1)
+          if (start < l.length && isIdentStart(l.charAt(start))) {
+            val end = wordRunEnd(l, start + 1)
+            emit(l.substring(start, end))
+            next = end // resume after the match, like the regex iterator
+          }
+        }
+      }
+      i = l.indexOf("def", next)
+    }
+  }
+
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
+    val out = Vector.newBuilder[Triple]
+    var i = 0
+    while (i < ls.length) {
+      val no = i + 1
+      scanDefs(ls(i))(nm => out += triple(f, name, nm, no))
+      i += 1
+    }
+    out.result()
+  }
 }
 
 /** `calls` — call sites: identifier immediately followed by `(`,
   * excluding the definition site itself.
   */
 object CallsExtractor extends RuleExtractor {
+  import Scan._
   val name = "calls"
   override def appliesTo(lang: String): Boolean =
     lang == "scala" || lang == "python"
-  private val callRe: Regex = """([A-Za-z_]\w*)\(""".r
-  private val defPrefix: Regex = """\bdef\s+$""".r
-  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
-    (for {
-      (no, l) <- lines(ls)
-      m <- callRe.findAllMatchIn(l)
-      if defPrefix.findFirstIn(l.substring(0, m.start)).isEmpty
-    } yield triple(f, name, m.group(1), no)).toVector
+
+  /** Prefix-exclusion twin of `\bdef\s+$` on l[0, start). */
+  private def defPrefixed(l: String, start: Int): Boolean = {
+    var i = start
+    while (i > 0 && isWs(l.charAt(i - 1))) i -= 1
+    if (i == start) return false // \s+ needs at least one ws char
+    i >= 3 && l.startsWith("def", i - 3) &&
+      (i == 3 || !isWordChar(l.charAt(i - 4)))
+  }
+
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
+    val out = Vector.newBuilder[Triple]
+    var li = 0
+    while (li < ls.length) {
+      val l = ls(li); val no = li + 1
+      var i = l.indexOf('(')
+      while (i >= 0) {
+        // maximal \w run ending at '(' …
+        var s = i
+        while (s > 0 && isWordChar(l.charAt(s - 1))) s -= 1
+        // … regex start = leftmost [A-Za-z_] in the run (digits can't
+        // start a match)
+        var p = s
+        while (p < i && !isIdentStart(l.charAt(p))) p += 1
+        if (p < i && !defPrefixed(l, p))
+          out += triple(f, name, l.substring(p, i), no)
+        i = l.indexOf('(', i + 1)
+      }
+      li += 1
+    }
+    out.result()
+  }
+}
+
+/** Shared URL scanner — twin of `https?://[^\s"'()<>]+` findAllMatchIn. */
+private[extract] object UrlScan {
+  import Scan.isWs
+  @inline private def isStop(c: Char): Boolean =
+    isWs(c) || c == '"' || c == '\'' || c == '(' || c == ')' ||
+      c == '<' || c == '>'
+
+  /** Emits (urlStart, hostStart, hostEnd, urlEnd) index bounds for each
+    * URL in `l` — callers slice what they need, nothing else is
+    * allocated.
+    */
+  def scan(l: String)(emit: (Int, Int, Int, Int) => Unit): Unit = {
+    var i = l.indexOf("http")
+    while (i >= 0) {
+      val scheme =
+        if (l.startsWith("://", i + 4)) i + 7
+        else if (i + 4 < l.length && l.charAt(i + 4) == 's' &&
+          l.startsWith("://", i + 5)) i + 8
+        else -1
+      if (scheme > 0 && scheme < l.length && !isStop(l.charAt(scheme))) {
+        var j = scheme
+        while (j < l.length && !isStop(l.charAt(j))) j += 1
+        var k = scheme
+        while (k < j && l.charAt(k) != '/' && l.charAt(k) != ':') k += 1
+        emit(i, scheme, k, j)
+        i = l.indexOf("http", j)
+      } else i = l.indexOf("http", i + 1)
+    }
+  }
 }
 
 /** `mentions_url` — full URLs as written. */
 object UrlExtractor extends RuleExtractor {
   val name = "mentions_url"
-  private[extract] val urlRe: Regex = """https?://[^\s"'()<>]+""".r
-  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
-    (for ((no, l) <- lines(ls); m <- urlRe.findAllMatchIn(l))
-      yield triple(f, name, m.matched, no)).toVector
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
+    val out = Vector.newBuilder[Triple]
+    var li = 0
+    while (li < ls.length) {
+      val l = ls(li); val no = li + 1
+      UrlScan.scan(l)((u, _, _, e) =>
+        out += triple(f, name, l.substring(u, e), no))
+      li += 1
+    }
+    out.result()
+  }
 }
 
 /** `mentions_domain` — URL hosts, deduplicated per document
@@ -124,10 +322,14 @@ object DomainExtractor extends RuleExtractor {
   def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
     val seen = scala.collection.mutable.LinkedHashSet[String]()
     val firstLine = scala.collection.mutable.Map[String, Int]()
-    for ((no, l) <- lines(ls); m <- UrlExtractor.urlRe.findAllMatchIn(l)) {
-      val rest = m.matched.substring(m.matched.indexOf("://") + 3)
-      val host = rest.takeWhile(c => c != '/' && c != ':')
-      if (seen.add(host)) firstLine(host) = no
+    var li = 0
+    while (li < ls.length) {
+      val l = ls(li); val no = li + 1
+      UrlScan.scan(l) { (_, hs, he, _) =>
+        val host = l.substring(hs, he)
+        if (seen.add(host)) firstLine(host) = no
+      }
+      li += 1
     }
     seen.iterator.map(h => triple(f, name, h, firstLine(h))).toVector
   }
@@ -137,13 +339,58 @@ object DomainExtractor extends RuleExtractor {
   * (/root/reference/Demo_Prompts/extract_references/system.md:9-12).
   */
 object ReferencesExtractor extends RuleExtractor {
+  import Scan._
   val name = "references"
-  private val refRe: Regex = """based on (.+?) by ([A-Z][A-Za-z. ]+?)\s*$""".r
   private val Cap = 20
-  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] =
-    (for ((no, l) <- lines(ls); m <- refRe.findFirstMatchIn(l))
-      yield triple(f, name, s"${m.group(1)} by ${m.group(2)}", no))
-      .take(Cap).toVector
+
+  @inline private def isAuthorChar(c: Char): Boolean =
+    (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') || c == '.' || c == ' '
+
+  /** scanner twin of `based on (.+?) by ([A-Z][A-Za-z. ]+?)\s*$`
+    * findFirstMatchIn: lazy groups = try every "based on" start, then
+    * every " by " split left-to-right, accept the first whose author
+    * tail (trailing \s stripped) is [A-Z][A-Za-z. ]+.
+    */
+  private[extract] def scanRef(l: String): String = {
+    var bi = l.indexOf("based on ")
+    while (bi >= 0) {
+      val restStart = bi + 9
+      var byIdx = l.indexOf(" by ", restStart)
+      while (byIdx >= 0) {
+        if (byIdx > restStart) { // (.+?) needs a non-empty work
+          val authorRaw = l.substring(byIdx + 4)
+          val a = rtrimWs(authorRaw)
+          if (a.length >= 2 && a.charAt(0) >= 'A' && a.charAt(0) <= 'Z') {
+            var ok = true
+            var i = 1
+            while (ok && i < a.length) {
+              if (!isAuthorChar(a.charAt(i))) ok = false
+              i += 1
+            }
+            if (ok) return l.substring(restStart, byIdx) + " by " + a
+          }
+        }
+        byIdx = l.indexOf(" by ", byIdx + 1)
+      }
+      bi = l.indexOf("based on ", bi + 1)
+    }
+    null
+  }
+
+  def extract(f: SourceFile, ls: Array[String]): Seq[Triple] = {
+    val out = Vector.newBuilder[Triple]
+    var li = 0
+    var found = 0
+    while (li < ls.length && found < Cap) {
+      val m = scanRef(ls(li))
+      if (m != null) {
+        out += triple(f, name, m, li + 1)
+        found += 1
+      }
+      li += 1
+    }
+    out.result()
+  }
 }
 
 /** `tagged` — lowercase underscore-joined tags

@@ -31,14 +31,26 @@ object SkewJoin {
     */
   val MinRowsForDetection = 1000000L
 
+  /** A unique-per-key right side at or below this row count is
+    * broadcast outright — a broadcast hash join is skew-IMMUNE (no
+    * shuffle of the left at all), so both the detection pass and the
+    * hot/cold split are pure waste when the dimension side is small.
+    */
+  val BroadcastableRightRows = 500000L
+
   /** left ⋈ right on `key`; `right` MUST be unique per key.
     * `leftCountHint`: pass a known (or upper-bound) left row count to
     * skip the detection aggregation for small inputs — iterative
     * callers (CC) know it from their fixpoint bookkeeping.
+    * `rightCountHint`: pass a known right row count (e.g. from a stage
+    * manifest) to take the broadcast fast path without any probe job.
     */
   def joinUniqueRight(left: DataFrame, right: DataFrame, key: String,
                       hotThreshold: Long = 100000L,
-                      leftCountHint: Option[Long] = None): DataFrame = {
+                      leftCountHint: Option[Long] = None,
+                      rightCountHint: Option[Long] = None): DataFrame = {
+    if (rightCountHint.exists(_ <= BroadcastableRightRows))
+      return left.join(broadcast(right), Seq(key))
     if (leftCountHint.exists(_ < MinRowsForDetection))
       return left.join(right, Seq(key))
     val hotKeys = left.groupBy(key).count()

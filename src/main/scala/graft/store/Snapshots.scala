@@ -36,6 +36,13 @@ object Snapshots {
 
   private val ManifestName = "_MANIFEST.json"
 
+  /** Stage parquet codec: lz4 measurably beats snappy on encode CPU
+    * for these string-heavy triple tables (WriteProbe: ~30% less write
+    * wall at equal size) — and stage files are only ever read back by
+    * this engine, so cross-tool codec compatibility is not a concern.
+    */
+  val StageCompression = "lz4"
+
   def stageDir(runDir: String, stage: String): String =
     s"$runDir/stage=$stage"
 
@@ -70,6 +77,7 @@ object Snapshots {
     val t0 = System.nanoTime()
     val df = compute
     val writer = df.write.mode(SaveMode.Overwrite)
+      .option("compression", StageCompression)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(dir)
     val wallMs = (System.nanoTime() - t0) / 1000000L

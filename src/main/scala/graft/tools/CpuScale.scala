@@ -31,6 +31,39 @@ object CpuScale {
     }.reduce(_ + _)
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[cpuscale] cpus=$cpus files=$n triples=$triples wall=$sec%.1fs rate=${triples / sec}%.0f")
+
+    // extraction-ONLY probe: pre-generate a small per-partition corpus
+    // once, then loop the extractor registry over it `reps` times —
+    // generation cost amortizes away, isolating the extract kernel's
+    // scaling (the pipeline's data-proportional stage).
+    val reps = sys.env.getOrElse("SPARK_GRAFT_KERNEL_REPS", "20").toInt
+    val perPart = 2000
+    val t1 = System.nanoTime()
+    val triples2 = spark.range(0L, cpus.toLong * 4, 1L, cpus * 4).map { p =>
+      val corpus = Array.tabulate(perPart)(j =>
+        graft.fixtures.FilesGen.row(p * perPart + j, 42L, 8))
+      val registry = graft.extract.ExtractorRegistry.all
+      var total = 0L
+      var r = 0
+      while (r < reps) {
+        var j = 0
+        while (j < corpus.length) {
+          val f = corpus(j)
+          val ls = graft.extract.RuleExtractor.split(f.content)
+          val it = registry.iterator
+          while (it.hasNext) {
+            val ex = it.next()
+            if (ex.appliesTo(f.lang)) total += ex.extract(f, ls).size
+          }
+          j += 1
+        }
+        r += 1
+      }
+      total
+    }.reduce(_ + _)
+    val sec2 = (System.nanoTime() - t1) / 1e9
+    println(f"[cpuscale-kernel] cpus=$cpus files=${cpus * 4 * perPart * reps} " +
+      f"triples=$triples2 wall=$sec2%.1fs rate=${triples2 / sec2}%.0f")
     spark.stop()
   }
 }
