@@ -58,21 +58,31 @@ object Pipeline {
     // Stage 1 — extraction. repartitionByRange(repo, path) gives
     // deterministic per-partition lineage and co-locates each repo's
     // files (north star verbatim).
-    // subj ("repo/path") is derivable — materializing it would fatten
-    // the biggest stage's parquet by ~15% and its write wall by ~20%
-    // (WriteProbe); it is dropped on write and re-derived on read
+    // Extract-stage layout choices are write-cost choices at 10^12
+    // files (all WriteProbe-measured):
+    //  - subj ("repo/path") is derivable — dropped on write,
+    //    re-derived on read (~15% fewer bytes, ~20% less write wall);
+    //  - partitioned by the quarantine FLAG, not by pred: the only
+    //    partition predicate the pipeline ever applies is
+    //    quarantine-vs-not, and a boolean dynamic-partition sort is
+    //    far cheaper than a 10-value one (19s vs 25s single-thread at
+    //    200k files, and half the bytes — fewer files keep dictionary
+    //    pages effective). Per-pred partitioning remains where it is
+    //    user-facing semantics: the published nodes/edges tables.
     val raw0 = Snapshots.stage(spark, runDir, "extract", runId, resume,
-      partitionBy = Seq("pred")) {
+      partitionBy = Seq("q")) {
       val arranged = files.repartitionByRange(
         cfg.arrangePartitions.getOrElse(
           files.sparkSession.sparkContext.defaultParallelism),
         $"repo", $"path")
-      Extraction.extract(arranged, cfg.extraction).toDF().drop("subj")
+      Extraction.extract(arranged, cfg.extraction).toDF()
+        .withColumn("q", $"pred" === lit(Extraction.QuarantinePred))
+        .drop("subj")
     }
     val raw = raw0.withColumn("subj", concat($"repo", lit("/"), $"path"))
 
-    // pred partition pruning: these scans never touch quarantine rows
-    val triples = raw.filter($"pred" =!= Extraction.QuarantinePred)
+    // q partition pruning: these scans never touch quarantine rows
+    val triples = raw.filter(!$"q").drop("q")
 
     // Stage 2a — entity surface forms
     val ents = Snapshots.stage(spark, runDir, "entities", runId, resume) {
@@ -80,12 +90,12 @@ object Pipeline {
     }
 
     // Stage 2b — link edges (exact-norm + LSH candidates + scoring).
-    // Fuzzy-pred presence comes free from the extract manifest's pred=
-    // partition lineage — no emptiness probe job.
-    val fuzzyNonEmpty = Snapshots.readManifest(runDir, "extract").fileRows
-      .exists { case (f, n) =>
-        n > 0 && Linking.FuzzyPreds.exists(p => f.startsWith(s"pred=$p/"))
-      }
+    // The fuzzy-presence probe runs against the MATERIALIZED entities
+    // snapshot (narrow, already on storage, limit-1 semantics) — not
+    // against live extraction lineage, which would re-run the content
+    // scan.
+    val fuzzyNonEmpty =
+      !ents.filter(col("pred").isin(Linking.FuzzyPreds: _*)).isEmpty
     val links = Snapshots.stage(spark, runDir, "link_edges", runId, resume) {
       Linking.linkEdges(ents, cfg.link, Some(fuzzyNonEmpty),
         sizeHint = Some(Snapshots.readManifest(runDir, "entities").rows))
@@ -139,7 +149,7 @@ object Pipeline {
     val extractManifest = Snapshots.readManifest(runDir, "extract")
     val rawRows = extractManifest.rows
     val quarantined = extractManifest.fileRows.collect {
-      case (f, n) if f.startsWith(s"pred=${Extraction.QuarantinePred}/") => n
+      case (f, n) if f.startsWith("q=true/") => n
     }.sum
     Result(
       runId = runId,

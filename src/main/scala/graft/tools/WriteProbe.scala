@@ -44,7 +44,20 @@ object WriteProbe {
       triples.drop("subj").write.mode("overwrite").option("compression", "lz4")
         .partitionBy("pred").parquet(s"$out/e")
     }
-    Seq("a","b","c","d","e").foreach { s =>
+    t("write partByBool no-subj lz4") {
+      triples.drop("subj")
+        .withColumn("q", col("pred") === "__quarantine__")
+        .write.mode("overwrite").option("compression", "lz4")
+        .partitionBy("q").parquet(s"$out/f")
+    }
+    t("read e filter pred count") {
+      spark.read.parquet(s"$out/e")
+        .filter(col("pred") =!= "__quarantine__").count()
+    }
+    t("read f filter pred count") {
+      spark.read.parquet(s"$out/f").filter(!col("q")).count()
+    }
+    Seq("a","b","c","d","e","f").foreach { s =>
       val sz = graft.store.Snapshots.footerCounts(s"$out/$s").size
       val bytes = {
         val p = java.nio.file.Paths.get(s"$out/$s")
