@@ -181,6 +181,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           round(sum(col("l_quantity")), 4).as("sum_qty"))
     }),
+    "profile_cube" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      t(dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("sum_qty"))
+    }),
+    // the Excel per-sheet metadata flatten analog (python.py:511-548):
+    // workbook metadata synthesized deterministically from documents
+    // (SQL-expressible), sheets array exploded to rows
+    "workbook_flatten" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val wb = t(dir, "documents").select(col("doc_id"),
+        expr("""transform(sequence(1, cast(doc_id % 3 + 1 as int)),
+                |  i -> struct(concat('sheet', i) as sheet,
+                |              doc_id % 7 + i as n_cols,
+                |              (doc_id + i) % 100 as n_merged))""".stripMargin)
+          .as("sheets"))
+      Relational.flattenSheets(wb)
+    }),
     "price_quantiles" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "lineitem").groupBy("l_returnflag")
@@ -455,6 +475,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 4) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "profile_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  round(sum(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)""".stripMargin,
+    "workbook_flatten" ->
+      """SELECT doc_id, 'sheet' || i AS sheet,
+        |  doc_id % 7 + i AS n_cols, (doc_id + i) % 100 AS n_merged
+        |FROM documents, unnest(range(1, doc_id % 3 + 2)) AS t(i)""".stripMargin,
     "price_quantiles" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,

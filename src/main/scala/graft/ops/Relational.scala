@@ -86,4 +86,15 @@ object Relational {
         sum(isNew).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
       .select("event_id", "user_id", "session_seq")
   }
+
+  /** Workbook-metadata flatten — the Excel per-sheet metadata analog
+    * (/root/reference/python.py:511-548: sheet names, column headers,
+    * merged-cell counts per sheet): one row per sheet from a nested
+    * `sheets: array<struct>` column. Pure explode — map-side only, no
+    * shuffle, scales linearly with sheet count.
+    */
+  def flattenSheets(workbooks: DataFrame): DataFrame =
+    workbooks.select(col("doc_id"), explode(col("sheets")).as("sh"))
+      .select(col("doc_id"), col("sh.sheet").as("sheet"),
+        col("sh.n_cols").as("n_cols"), col("sh.n_merged").as("n_merged"))
 }
