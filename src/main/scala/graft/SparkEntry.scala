@@ -325,9 +325,10 @@ object SparkEntry {
     // ---- multimodal (binary payloads + typed metadata; stub codec) ----
     // metadata aggregation over a media table derived from `documents`
     // by pure integer arithmetic — SQL-expressible, so the groupBy has
-    // a DuckDB twin recomputing the same derivation (the binary
-    // payload never reaches the aggregate: column pruning, asserted in
-    // MultimodalSpec)
+    // a DuckDB twin recomputing the same derivation. (On a stored
+    // media table the binary payload never reaches this aggregate —
+    // column pruning, plan-asserted in MultimodalSpec; here the media
+    // rows are synthesized in-flight by a typed map.)
     "media_profile" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Multimodal.mediaProfile(
