@@ -31,7 +31,11 @@ object Snapshots {
       rows: Long,
       fileRows: Map[String, Long],
       wallMs: Long,
-      metrics: Map[String, String]
+      metrics: Map[String, String],
+      // snapshot version (Iceberg-style time travel); None on
+      // manifests written before versioning existed (data then lives
+      // directly under the stage dir)
+      version: Option[Int] = None
   )
 
   private val ManifestName = "_MANIFEST.json"
@@ -46,24 +50,99 @@ object Snapshots {
   def stageDir(runDir: String, stage: String): String =
     s"$runDir/stage=$stage"
 
+  /** Data directory of a specific snapshot version. */
+  def snapshotDir(runDir: String, stage: String, version: Int): String =
+    s"${stageDir(runDir, stage)}/snap=$version"
+
+  private def dataDir(runDir: String, stage: String, m: Manifest): String =
+    m.version match {
+      case Some(v) => snapshotDir(runDir, stage, v)
+      case None    => stageDir(runDir, stage) // pre-versioning layout
+    }
+
   def isComplete(runDir: String, stage: String): Boolean =
     Files.exists(Paths.get(stageDir(runDir, stage), ManifestName))
 
+  /** Current snapshot of a stage (the one the live manifest points at). */
   def read(spark: SparkSession, runDir: String, stage: String): DataFrame =
-    spark.read.parquet(stageDir(runDir, stage))
+    spark.read.parquet(dataDir(runDir, stage, readManifest(runDir, stage)))
 
-  def readManifest(runDir: String, stage: String): Manifest = {
+  /** TIME TRAVEL: read a stage as of snapshot `version`. Every publish
+    * keeps its data files under snap=<v>/ and its manifest as
+    * _MANIFEST.v<v>.json (the Iceberg snapshot-log shape), so any
+    * historical version remains queryable until `expire` removes it.
+    */
+  def readVersion(spark: SparkSession, runDir: String, stage: String,
+                  version: Int): DataFrame = {
+    // verifies the manifest exists (a snapshot without one was never
+    // published and must not be readable)
+    val m = readManifestVersion(runDir, stage, version)
+    spark.read.parquet(dataDir(runDir, stage, m))
+  }
+
+  /** All published versions of a stage, ascending. */
+  def versions(runDir: String, stage: String): Seq[Int] = {
+    val dir = Paths.get(stageDir(runDir, stage))
+    if (!Files.exists(dir)) return Nil
+    val s = Files.list(dir)
+    try s.iterator().asScalaIterator()
+      .map(_.getFileName.toString)
+      .collect { case VersionedManifestRe(v) => v.toInt }
+      .toVector.sorted
+    finally s.close()
+  }
+
+  /** Drop the data and manifest of an old snapshot (Iceberg
+    * expire_snapshots analog). Refuses to expire the current version.
+    */
+  def expire(runDir: String, stage: String, version: Int): Unit = {
+    val current = readManifest(runDir, stage).version
+    require(!current.contains(version),
+      s"cannot expire the current snapshot v$version of $stage")
+    val snap = Paths.get(snapshotDir(runDir, stage, version))
+    if (Files.exists(snap)) {
+      val w = Files.walk(snap)
+      try w.iterator().asScalaIterator().toVector.reverseIterator
+        .foreach(Files.deleteIfExists(_))
+      finally w.close()
+    }
+    Files.deleteIfExists(
+      Paths.get(stageDir(runDir, stage), versionedManifestName(version)))
+  }
+
+  private val VersionedManifestRe = """_MANIFEST\.v(\d+)\.json""".r
+  private def versionedManifestName(v: Int) = s"_MANIFEST.v$v.json"
+
+  def readManifest(runDir: String, stage: String): Manifest =
+    parseManifest(Paths.get(stageDir(runDir, stage), ManifestName))
+
+  def readManifestVersion(runDir: String, stage: String,
+                          version: Int): Manifest =
+    parseManifest(
+      Paths.get(stageDir(runDir, stage), versionedManifestName(version)))
+
+  private def parseManifest(p: Path): Manifest = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     implicit val fmts: Formats = DefaultFormats
-    val p = Paths.get(stageDir(runDir, stage), ManifestName)
     JsonMethods.parse(Files.readString(p)).extract[Manifest]
   }
 
   /** Compute-or-resume: if the stage is complete, read it back;
-    * otherwise evaluate `compute`, write, and publish the manifest.
-    * Returns the stage as a (re-read) DataFrame so downstream stages
-    * always consume the durable snapshot, never a live lineage.
+    * otherwise evaluate `compute`, write a NEW SNAPSHOT VERSION, and
+    * publish its manifest. Returns the stage as a (re-read) DataFrame
+    * so downstream stages always consume the durable snapshot, never
+    * a live lineage.
+    *
+    * Versioning (Iceberg snapshot emulation): data lands under
+    * snap=<v>/, the versioned manifest _MANIFEST.v<v>.json is written
+    * next, and the live pointer _MANIFEST.json is renamed into place
+    * LAST — readers either see the previous complete snapshot or the
+    * new one, never a partial. A crashed publish leaves an
+    * unreferenced snap dir that the next attempt (same version number
+    * — versions() only counts published manifests) overwrites.
+    * Historical versions stay queryable via readVersion until
+    * expire()d.
     */
   def stage(spark: SparkSession, runDir: String, stageName: String,
             runId: String, resume: Boolean = true,
@@ -73,7 +152,8 @@ object Snapshots {
     if (resume && isComplete(runDir, stageName))
       return read(spark, runDir, stageName)
 
-    val dir = stageDir(runDir, stageName)
+    val version = versions(runDir, stageName).lastOption.getOrElse(0) + 1
+    val dir = snapshotDir(runDir, stageName, version)
     val t0 = System.nanoTime()
     val df = compute
     val writer = df.write.mode(SaveMode.Overwrite)
@@ -85,12 +165,16 @@ object Snapshots {
     // per-partition lineage: row count per produced file, read from
     // the parquet FOOTERS on the driver (no Spark job, no data
     // re-scan — the Iceberg-manifest approach). Keyed by the
-    // stage-relative path: partitionBy layouts reuse part-file
+    // snapshot-relative path: partitionBy layouts reuse part-file
     // basenames across partition dirs.
     val perFile = footerCounts(dir)
     val rows = perFile.values.sum
 
-    writeManifest(dir, Manifest(runId, stageName, rows, perFile, wallMs, metrics))
+    val m = Manifest(runId, stageName, rows, perFile, wallMs, metrics,
+      version = Some(version))
+    val sd = stageDir(runDir, stageName)
+    writeManifest(sd, versionedManifestName(version), m)
+    writeManifest(sd, ManifestName, m)
     spark.read.parquet(dir)
   }
 
@@ -149,14 +233,14 @@ object Snapshots {
     df.coalesce(1).write.mode(SaveMode.Overwrite)
       .option("header", "true").format(format).save(dir)
 
-  private def writeManifest(dir: String, m: Manifest): Unit = {
+  private def writeManifest(dir: String, name: String, m: Manifest): Unit = {
     import org.json4s._
-    import org.json4s.jackson.{JsonMethods, Serialization}
+    import org.json4s.jackson.Serialization
     implicit val fmts: Formats = DefaultFormats
     val json = Serialization.writePretty(m)
-    val tmp: Path = Paths.get(dir, s".$ManifestName.tmp")
+    val tmp: Path = Paths.get(dir, s".$name.tmp")
     Files.writeString(tmp, json)
-    Files.move(tmp, Paths.get(dir, ManifestName),
+    Files.move(tmp, Paths.get(dir, name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 }

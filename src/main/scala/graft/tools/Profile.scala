@@ -24,7 +24,7 @@ object Profile {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    val raw = spark.read.parquet(s"$runDir/stage=extract")
+    val raw = graft.store.Snapshots.read(spark, runDir, "extract")
     val triples = raw.filter($"pred" =!= "__quarantine__")
     time("raw.count")(raw.count())
     time("triples select distinct count")(
@@ -38,10 +38,10 @@ object Profile {
         .withColumn("norm", Linking.normCol($"obj"))
         .withColumn("entityId", Linking.idCol($"pred", $"obj")).count())
 
-    val links = spark.read.parquet(s"$runDir/stage=link_edges")
+    val links = graft.store.Snapshots.read(spark, runDir, "link_edges")
     val cc = time("cc.run")(graft.canon.ConnectedComponents.run(links))
     time("cc assignments count")(cc.assignments.count())
-    val ents2 = spark.read.parquet(s"$runDir/stage=entities")
+    val ents2 = graft.store.Snapshots.read(spark, runDir, "entities")
     time("assign join")({
       val a = ents2.join(cc.assignments.withColumnRenamed("id", "entityId"),
           Seq("entityId"), "left")

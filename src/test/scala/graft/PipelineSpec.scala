@@ -18,6 +18,30 @@ class PipelineSpec extends SparkSpec {
   private val n = 400
   private lazy val files = FilesGen.dataset(spark, n)
 
+  test("snapshot time travel: every publish stays queryable until expired") {
+    val dir = tmpDir("tt")
+    def publish(xs: Seq[Long]): Unit =
+      Snapshots.stage(spark, dir, "demo", "tt", resume = false) {
+        xs.toDF("x")
+      }
+    publish(Seq(1L, 2L, 3L))
+    publish(Seq(10L, 20L))
+    assert(Snapshots.versions(dir, "demo") == Seq(1, 2))
+    // current read = latest snapshot; v1 still queryable (time travel)
+    assert(Snapshots.read(spark, dir, "demo")
+      .as[Long].collect().sorted.toSeq == Seq(10L, 20L))
+    assert(Snapshots.readVersion(spark, dir, "demo", 1)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L, 3L))
+    assert(Snapshots.readManifest(dir, "demo").version.contains(2))
+    assert(Snapshots.readManifestVersion(dir, "demo", 1).rows == 3)
+    // the current snapshot refuses to expire; old ones go away fully
+    intercept[IllegalArgumentException](Snapshots.expire(dir, "demo", 2))
+    Snapshots.expire(dir, "demo", 1)
+    assert(Snapshots.versions(dir, "demo") == Seq(2))
+    intercept[Exception](Snapshots.readVersion(spark, dir, "demo", 1))
+    deleteRec(Path.of(dir))
+  }
+
   private def edgeSet(runDir: String): Set[(String, String, Long)] =
     Snapshots.read(spark, runDir, "edges")
       .select("subj", "pred", "canonicalId")
