@@ -103,7 +103,7 @@ object Similarity {
     * decides membership.
     */
   def nearDupPairs(embs: DataFrame, minCos: Double,
-                   bucketLength: Double = 0.5, numHashTables: Int = 6,
+                   bucketLength: Double = 0.5, numHashTables: Int = 4,
                    seed: Long = 42L, slack: Double = 0.01,
                    id: String = "vec_id",
                    emb: String = "embedding"): DataFrame = {
