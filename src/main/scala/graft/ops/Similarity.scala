@@ -93,23 +93,54 @@ object Similarity {
       round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
   }
 
-  /** Near-duplicate pairs at scale: random-projection LSH bucket join
-    * for candidate generation, then EXACT cosine re-scoring of each
-    * candidate as a codegen'd column expression — the bucketed path
-    * prunes the O(n²) pair space; the re-score makes the output exact
-    * over the surviving candidates (and therefore oracle-checkable).
-    * The LSH distance filter runs slightly loose (minCos − slack) so
-    * the exact filter, not floating-point noise at the boundary,
-    * decides membership.
+  /** Candidate near-dup pairs from hyperplane sign-LSH banding: ids
+    * sharing at least one (band, key), where band keys come from the
+    * codegen'd [[graft.functions.SignLshBands]] expression (`bands`
+    * keys × `bitsPerBand` Rademacher sign bits per row, one tight
+    * kernel pass inside whole-stage codegen).
+    *
+    * Why this and not MLlib's BucketedRandomProjectionLSH: BRP-LSH has
+    * no AND-amplification (1 projection per table), so for unit
+    * vectors a random pair (distance ≈ √2) collides per table with
+    * p ≈ 0.14 at bucketLength 0.5 — OR over a few tables makes ~half
+    * of ALL pairs candidates, a disguised all-pairs join. AND-ing
+    * `bitsPerBand` sign bits drives a random pair's per-band collision
+    * to 2^-bits (≈1.5e-5 at 16 bits) while a near-identical pair
+    * (cos ≥ 0.98 ⇒ flip prob θ/π ≤ 0.064 per bit) still collides with
+    * ≥ (1−θ/π)^bits per band, OR-amplified across bands. The self-join
+    * is on exact 64-bit compound keys, so the candidate set grows
+    * ~linearly with n, not n².
+    */
+  private[graft] def signLshCandidates(embs: DataFrame, bands: Int = 8,
+                                       bitsPerBand: Int = 16,
+                                       seed: Long = 42L,
+                                       id: String = "vec_id",
+                                       emb: String = "embedding"): DataFrame = {
+    val keyed = embs
+      .select(col(id), graft.functions.SignLshBands(
+        expr(s"transform($emb, x -> cast(x as double))"),
+        bands, bitsPerBand, seed).as("keys"))
+      .select(col(id), posexplode(col("keys")).as(Seq("band", "key")))
+    keyed.as("a").join(keyed.as("b"), Seq("band", "key"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-duplicate pairs at scale: sign-LSH banding for candidate
+    * generation (equality join on compound band keys — selective even
+    * on random corpora), then EXACT cosine re-scoring of each candidate
+    * as a codegen'd column expression. The re-score makes the output
+    * exact over the surviving candidates (and therefore
+    * oracle-checkable); candidate membership is a key-equality fact,
+    * so no distance slack is needed at the threshold boundary.
     */
   def nearDupPairs(embs: DataFrame, minCos: Double,
-                   bucketLength: Double = 0.5, numHashTables: Int = 4,
-                   seed: Long = 42L, slack: Double = 0.01,
+                   bands: Int = 8, bitsPerBand: Int = 16,
+                   seed: Long = 42L,
                    id: String = "vec_id",
                    emb: String = "embedding"): DataFrame = {
-    val cand = lshNearDupPairs(embs, math.max(-1.0, minCos - slack),
-        bucketLength, numHashTables, seed, id, emb)
-      .select(col("id_a"), col("id_b"))
+    val cand = signLshCandidates(embs, bands, bitsPerBand, seed, id, emb)
     val dotAB = aggregate(zip_with(col(s"a.$emb"), col(s"b.$emb"),
       (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
@@ -124,24 +155,5 @@ object Similarity {
       // only for output
       .filter(col("cos_raw") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
-  }
-
-  /** Approximate near-dup pairs via LSH self-join on unit vectors. */
-  def lshNearDupPairs(embs: DataFrame, minCos: Double,
-                      bucketLength: Double = 0.5, numHashTables: Int = 4,
-                      seed: Long = 42L, id: String = "vec_id",
-                      emb: String = "embedding"): DataFrame = {
-    val unit = withUnitVectors(embs, id, emb)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("unit").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(seed)
-    val model = lsh.fit(unit)
-    val maxDist = math.sqrt(math.max(0.0, 2.0 - 2.0 * minCos))
-    model.approxSimilarityJoin(unit, unit, maxDist, "dist")
-      .filter(col(s"datasetA.$id") < col(s"datasetB.$id"))
-      .select(col(s"datasetA.$id").as("id_a"),
-        col(s"datasetB.$id").as("id_b"),
-        round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
   }
 }

@@ -124,18 +124,30 @@ class OpsSpec extends SparkSpec {
         "re-model the oracle SQL before raising data scale")
   }
 
-  test("lshNearDupPairs agrees with exact pairs at high cosine") {
-    val subset = embs.filter($"vec_id" < 100)
-    val exact = Similarity.cosineNearDupPairs(subset, 0.35)
+  test("signLshCandidates: complete on planted near-dups, selective on the random background") {
+    val base = embs.select($"vec_id",
+      expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+    val pert = base.filter($"vec_id" % 5 === 0)
+      .withColumnRenamed("vec_id", "orig")
+      .select(($"orig" + 1000000L).as("vec_id"),
+        expr("transform(embedding, (x, i) -> x * (1 + 0.01 * (((orig + i) % 3) - 1)))")
+          .as("embedding"))
+    val all = base.unionByName(pert).cache()
+    val n = all.count()
+    val planted = Similarity.cosineNearDupPairs(all, 0.98)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val approx = Similarity.lshNearDupPairs(subset, 0.35,
-        bucketLength = 2.0, numHashTables = 6)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    assert(approx.subsetOf(exact) || (approx -- exact).isEmpty,
-      "lsh pairs must never report cos >= threshold for pairs below it")
-    if (exact.nonEmpty) {
-      val recall = (exact intersect approx).size.toDouble / exact.size
-      assert(recall >= 0.5, s"recall $recall exact=${exact.size} approx=${approx.size}")
-    }
+    val cand = Similarity.signLshCandidates(all)
+      .as[(Long, Long)].collect().toSet
+    // recall 1.0: every true near-dup pair must be a candidate (the
+    // exact re-score can only shrink the candidate set)
+    assert(planted.subsetOf(cand),
+      s"banding missed true pairs: ${(planted -- cand).take(5)}")
+    // selectivity: the whole point of banding — candidates must be a
+    // vanishing fraction of the n² pair space, not ~45% of it (the
+    // failure mode of un-amplified BRP-LSH this replaced)
+    val allPairs = n * (n - 1) / 2
+    assert(cand.size.toLong < allPairs / 20,
+      s"candidates ${cand.size} of $allPairs pairs — banding not selective")
+    all.unpersist()
   }
 }
