@@ -222,9 +222,13 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(dir, "documents"), maxHamming = 3)
     }),
+    // the dedup step proper: survivors after dropping every non-min
+    // member of each near-dup component (MinHash banding candidates →
+    // exact Jaccard pairs → connected components); the DuckDB twin
+    // resolves components with a recursive transitive closure
     "dedup_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      Dedup.minhashPairs(t(dir, "documents"), n = 3, maxDist = 0.5)
+      Dedup.minhashSurvivors(t(dir, "documents"), n = 3, minJ = 0.5)
     }),
     // the scale path with an oracle: MinHash banding generates
     // candidates, exact set-Jaccard re-scores them — output is exact,
@@ -506,6 +510,11 @@ object SparkEntry {
     "dedup_exact" ->
       """SELECT min(doc_id) AS doc_id FROM (
         |  SELECT doc_id, md5(text) AS fp FROM documents) GROUP BY fp""".stripMargin,
+    // models the operator EXACTLY, including the stop-shingle cap:
+    // per-doc sizes are over ALL shingles, but the pair intersection
+    // only counts shingles with df <= 1000 (maxDocsPerShingle) — so
+    // the pairing stays sound even on boilerplate-heavy data where a
+    // shingle crosses the cap
     "dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
         |sh AS (SELECT DISTINCT doc_id, sh FROM (
@@ -513,8 +522,10 @@ object SparkEntry {
         |    range(1, greatest(len(ws) - 2, 1) + 1),
         |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)),
         |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |rare AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) <= 1000),
+        |shf AS (SELECT doc_id, sh FROM sh JOIN rare USING (sh)),
         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
-        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |  FROM shf a JOIN shf b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT id_a, id_b,
         |  round(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
         |FROM pairs
@@ -563,6 +574,54 @@ object SparkEntry {
       """SELECT event_id, to_json(struct_pack(event_id := event_id,
         |  event_type := event_type, user_id := user_id)) AS js
         |FROM events""".stripMargin,
+    // dedup survivors: exact J>=0.5 pairs (same shape as the
+    // minhash_neardup twin), then near-dup components via recursive
+    // transitive closure; drop every doc that can reach a smaller one
+    "dedup_minhash" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |dropped AS (SELECT src AS doc_id FROM reach GROUP BY src
+        |  HAVING src > min(dst))
+        |SELECT doc_id FROM documents
+        |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // brute-force twin of the banded SimHash pairs (banding is
+    // pigeonhole-complete for hamming<=3, so the sets are equal); the
+    // word hash is md5_number_lower, which the Spark side reassembles
+    // bit-identically from the md5 hex digest
+    "dedup_simhash" ->
+      """WITH words AS (
+        |  SELECT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents) WHERE length(word) > 0),
+        |bits AS (
+        |  SELECT doc_id, i,
+        |    sum(CASE WHEN (md5_number_lower(word) >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |  FROM words, unnest(range(0, 64)) AS t(i)
+        |  GROUP BY 1, 2),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN s > 0 THEN (1::UBIGINT << i) ELSE 0::UBIGINT END) AS UBIGINT) AS simhash
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
     "media_profile" ->
       """WITH m AS (SELECT
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'

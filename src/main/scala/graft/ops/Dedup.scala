@@ -1,13 +1,13 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline:
   * exact (hash groupBy), n-gram Jaccard (relational, oracle-checkable),
-  * SimHash (bit-sign aggregate + banded candidate join), and
-  * MinHash-LSH (MLlib). Embedding-cosine near-dup lives in Similarity.
+  * SimHash (bit-sign aggregate + banded candidate join), and MinHash
+  * banding (hand-rolled min-xxhash64 column expressions — no fitted
+  * model). Embedding-cosine near-dup lives in Similarity.
   *
   * Scale notes:
   *  - exact dedup is one shuffle on the 16-byte digest, never on text;
@@ -35,14 +35,21 @@ object Dedup {
       .groupBy("fp").agg(count(lit(1)).as("n"), min(col(id)).as("keep"))
       .filter(col("n") > 1)
 
-  /** Word n-gram shingles: (id, shingle), distinct per doc. */
+  /** Word n-gram shingles: (id, shingle), distinct per doc. The word
+    * split runs ONCE per row in its own projection — referencing
+    * split(...) inside the transform lambda would re-split the text
+    * per shingle index (O(words²) per doc; measured 1.5× on the whole
+    * shingle-join queries at sf0.1).
+    */
   def wordShingles(docs: DataFrame, n: Int, id: String = "doc_id",
                    text: String = "text"): DataFrame = {
-    docs.select(col(id), explode(array_distinct(expr(
-      s"""transform(
-         |  sequence(1, greatest(size(split(trim($text), '\\\\s+')) - ${n - 1}, 1)),
-         |  i -> array_join(slice(split(trim($text), '\\\\s+'), i, $n), ' '))""".stripMargin
-    ))).as("shingle"))
+    docs
+      .select(col(id), split(trim(col(text)), "\\s+").as("__ws"))
+      .select(col(id), explode(array_distinct(expr(
+        s"""transform(
+           |  sequence(1, greatest(size(__ws) - ${n - 1}, 1)),
+           |  i -> array_join(slice(__ws, i, $n), ' '))""".stripMargin
+      ))).as("shingle"))
   }
 
   /** Near-duplicate pairs by n-gram Jaccard ≥ minJ.
@@ -74,16 +81,32 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** 64-bit word hash both engines can compute: the little-endian
+    * uint64 of md5 bytes 8..15 — exactly DuckDB's
+    * `md5_number_lower(word)`, reassembled here from the hex digest by
+    * reversing the byte pairs and converting with a SIGNED target base
+    * (`conv(_, 16, -10)`) so the full 64-bit pattern survives the cast
+    * to long. This (rather than the cheaper xxhash64) is what makes
+    * SimHash oracle-checkable cross-engine; the md5 is hoisted into
+    * its own projection so it runs once per word, not once per byte.
+    */
+  private def md5NumberLower(md5Hex: org.apache.spark.sql.Column)
+  : org.apache.spark.sql.Column =
+    conv(concat((7 to 0 by -1).map(j =>
+      substring(md5Hex, 17 + 2 * j, 2)): _*), 16, -10).cast("long")
+
   /** 64-bit SimHash of the word multiset, as 64 sign-sum aggregates
-    * over xxhash64(word) bits — pure column expressions, map-side
-    * combined, no UDF.
+    * over md5-derived word-hash bits — pure column expressions,
+    * map-side combined, no UDF, reproducible in DuckDB.
     */
   def simhash(docs: DataFrame, id: String = "doc_id",
               text: String = "text"): DataFrame = {
     val wordsDf = docs.select(col(id),
       explode(split(trim(col(text)), "\\s+")).as("word"))
       .filter(length(col("word")) > 0)
-      .withColumn("h", xxhash64(col("word")))
+      .withColumn("__md5", md5(col("word")))
+      .withColumn("h", md5NumberLower(col("__md5")))
+      .drop("__md5")
     val bitSums = (0 until 64).map { i =>
       sum(when(expr(s"(h >> $i) & 1") === 1, 1).otherwise(-1)).as(s"b$i")
     }
@@ -110,27 +133,52 @@ object Dedup {
     banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"),
-        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Near-dup pairs at scale: MinHash-LSH banding for candidate
-    * generation (bounded buckets, no all-pairs join), then EXACT set
-    * Jaccard re-scoring of each candidate over the true shingle sets
-    * (array_intersect on collect_set — no TF hash collisions), so the
-    * output is exact over the surviving candidates and
-    * oracle-checkable. The LSH distance filter runs loose (`slack`) so
-    * the exact filter decides membership at the threshold boundary.
+  /** MinHash band keys as pure column expressions: key_i = min over
+    * the doc's distinct shingles of xxhash64(seed+i, shingle) — the
+    * classic r=1, OR-b banding (the same table shape MLlib's
+    * MinHashLSH builds) with no fit step, no TF feature hashing, and
+    * map-side-combined min aggregates. Candidates = id pairs sharing
+    * at least one (band, key); a pair at Jaccard J collides per band
+    * with probability J, so OR-b misses a J≥0.5 pair with probability
+    * ≤ (1−J)^b (≈0.4% at b=8) while random text pairs (shingle
+    * Jaccard ≈ 0) almost never collide.
+    */
+  private[graft] def minhashBandCandidates(docs: DataFrame, n: Int = 3,
+                                           numBands: Int = 8,
+                                           seed: Long = 42L,
+                                           id: String = "doc_id",
+                                           text: String = "text"): DataFrame = {
+    val sh = wordShingles(docs, n, id, text)
+    val aggs = (0 until numBands).map(i =>
+      min(xxhash64(lit(seed + i), col("shingle"))).as(s"k$i"))
+    val keys = sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    val banded = keys.select(col(id), explode(array((0 until numBands).map(i =>
+        struct(lit(i).as("band"), col(s"k$i").as("key"))): _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+      .filter(col(s"a.$id") < col(s"b.$id"))
+      .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
+      .distinct()
+  }
+
+  /** Near-dup pairs at scale: MinHash banding for candidate generation
+    * (bounded buckets, no all-pairs join, no fitted model), then EXACT
+    * set Jaccard re-scoring of each candidate over the true shingle
+    * sets (array_intersect on collect_set — no TF hash collisions), so
+    * the output is exact over the surviving candidates and
+    * oracle-checkable. Candidate membership is a key-equality fact, so
+    * no distance slack is needed at the threshold boundary.
     */
   def minhashNearDupPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
-                          numHashTables: Int = 8, seed: Long = 42L,
-                          slack: Double = 0.1,
+                          numBands: Int = 8, seed: Long = 42L,
                           id: String = "doc_id",
                           text: String = "text"): DataFrame = {
-    val cand = minhashPairs(docs, n, math.min(1.0, 1.0 - minJ + slack),
-        numHashTables, seed, id, text)
-      .select(col("id_a"), col("id_b"))
+    val cand = minhashBandCandidates(docs, n, numBands, seed, id, text)
     val sets = wordShingles(docs, n, id, text)
       .groupBy(col(id)).agg(collect_set(col("shingle")).as("sh"))
     val inter = size(array_intersect(col("a.sh"), col("b.sh"))).cast("double")
@@ -143,27 +191,22 @@ object Dedup {
       .select(col("id_a"), col("id_b"), round(col("j_raw"), 6).as("jaccard"))
   }
 
-  /** MinHash-LSH near-dup candidates over word shingles (MLlib),
-    * Jaccard distance ≤ maxDist. Deterministic via fixed seed.
+  /** The dedup step itself: docs kept after dropping every non-minimal
+    * member of each near-duplicate component (components of the
+    * J ≥ minJ pair graph, resolved by the same alternating-star /
+    * union-find machinery the KG canonicalization stage uses). The
+    * survivor of a component is its min doc id — deterministic, and
+    * oracle-checkable by a transitive-closure SQL twin.
     */
-  def minhashPairs(docs: DataFrame, n: Int = 3, maxDist: Double = 0.3,
-                   numHashTables: Int = 5, seed: Long = 42L,
-                   id: String = "doc_id",
-                   text: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val sh = wordShingles(docs, n, id, text)
-      .groupBy(col(id)).agg(collect_set(col("shingle")).as("shingles"))
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(1 << 18).setBinary(true)
-    val feats = tf.transform(sh)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(numHashTables).setSeed(seed)
-    val model = lsh.fit(feats)
-    model.approxSimilarityJoin(feats, feats, maxDist, "dist")
-      .filter(col(s"datasetA.$id") < col(s"datasetB.$id"))
-      .select(col(s"datasetA.$id").as("id_a"),
-        col(s"datasetB.$id").as("id_b"),
-        round(lit(1.0) - col("dist"), 6).as("jaccard"))
+  def minhashSurvivors(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
+                       numBands: Int = 8, seed: Long = 42L,
+                       id: String = "doc_id",
+                       text: String = "text"): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, n, minJ, numBands, seed, id, text)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = graft.canon.ConnectedComponents.run(pairs)
+    val dropped = cc.assignments.filter(col("id") =!= col("comp"))
+      .select(col("id").as(id))
+    docs.select(col(id)).join(dropped, Seq(id), "left_anti")
   }
 }

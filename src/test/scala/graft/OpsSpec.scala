@@ -14,10 +14,32 @@ class OpsSpec extends SparkSpec {
   private lazy val docs = spark.read.parquet(s"$dir/documents.parquet").cache()
   private lazy val embs = spark.read.parquet(s"$dir/embeddings.parquet").cache()
 
+  test("simhash word hash matches DuckDB md5_number_lower golden values") {
+    // the dedup_simhash oracle pairing rests on this bit-identity:
+    // Spark's reassembled little-endian uint64 of md5 bytes 8..15 must
+    // equal DuckDB's md5_number_lower (values captured from DuckDB)
+    val got = Dedup.simhash(
+        Seq((1L, "a"), (2L, "hello world")).toDF("doc_id", "text"))
+      .as[(Long, Long)].collect().toMap
+    // single-word doc: every bit sum is ±1 directly from the word hash,
+    // so simhash == the word hash's bit pattern
+    assert(got(1L) == 7000413967451013937L) // md5_number_lower('a')
+    // two distinct words: a bit is set iff BOTH hashes have it (agree →
+    // sum ±2, disagree → sum 0 → bit 0), i.e. simhash = AND of hashes
+    val hHello = java.lang.Long.parseUnsignedLong("10575884659879408057")
+    val hWorld = java.lang.Long.parseUnsignedLong("16660491718927469399")
+    assert(got(2L) == (hHello & hWorld))
+  }
+
   test("simhash: deterministic, equal for identical text, banding is complete for hamming<=3") {
     val sh = Dedup.simhash(docs).as[(Long, Long)].collect().toMap
     val sh2 = Dedup.simhash(docs.repartition(7)).as[(Long, Long)].collect().toMap
     assert(sh == sh2, "simhash must be partition-invariant")
+    // guard against degenerate collapse (a broken hash makes every
+    // simhash 0 and this test would vacuously pass: brute force and
+    // banding both see all-equal fingerprints)
+    assert(sh.values.toSet.size > docs.count() / 2,
+      "simhash values collapsed — word hash is broken")
 
     // brute-force all pairs with hamming <= 3
     val ids = sh.keys.toSeq.sorted
@@ -31,14 +53,38 @@ class OpsSpec extends SparkSpec {
       s"banded pairs must equal brute force; missing=${expected -- got} extra=${got -- expected}")
   }
 
-  test("minhash candidates recover high-Jaccard pairs found exactly") {
-    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.7)
+  test("minhash band candidates contain every true J>=0.5 pair") {
+    val exact = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.5)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact.nonEmpty, "fixture should contain strong near-dups")
-    val approx = Dedup.minhashPairs(docs, n = 3, maxDist = 0.5)
-      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
-    val recall = (exact intersect approx).size.toDouble / exact.size
-    assert(recall >= 0.9, s"minhash recall $recall too low (exact=${exact.size})")
+    val cand = Dedup.minhashBandCandidates(docs, n = 3)
+      .as[(Long, Long)].collect().toSet
+    // the minhash_neardup / dedup_minhash oracle pairings require
+    // recall 1.0 over the gate's own data (the exact re-score can only
+    // shrink the candidate set)
+    assert(exact.subsetOf(cand),
+      s"banding missed true pairs: ${(exact -- cand).take(5)}")
+  }
+
+  test("minhashSurvivors keeps exactly the component-min docs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    // independent oracle: plain-Scala union-find over the exact pairs
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val allIds = docs.select("doc_id").as[Long].collect().toSet
+    val expected = allIds.filter(d => find(d) == d)
+    val got = Dedup.minhashSurvivors(docs, n = 3, minJ = 0.5)
+      .as[Long].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
   }
 
   test("stop-shingle blocking yields a conservative subset of full pairs") {
@@ -111,17 +157,38 @@ class OpsSpec extends SparkSpec {
       s"missing=${(exact -- got).take(3)} extra=${(got -- exact).take(3)}")
   }
 
-  test("ngram-Jaccard oracle pairing is valid: max shingle df stays far below the stop-shingle cap") {
-    // the dedup_ngram_jaccard / minhash_neardup DuckDB twins compute
-    // exact Jaccard with NO df filter; the Spark operator drops
-    // shingles shared by > maxDocsPerShingle (default 1000) docs. The
-    // pairing is sound only while no shingle crosses the cap — assert
-    // that invariant on the gate's own data.
-    val maxDf = Dedup.wordShingles(docs, 3)
-      .groupBy("shingle").count().agg(max("count")).head().getLong(0)
-    assert(maxDf <= 100L,
-      s"max shingle df $maxDf approaches the 1000-doc stop-shingle cap; " +
-        "re-model the oracle SQL before raising data scale")
+  test("ngramJaccardPairs capped semantics match an independent oracle at a LOW cap") {
+    // the dedup_ngram_jaccard DuckDB twin now models the stop-shingle
+    // cap (sizes over all shingles; intersections over df<=cap only).
+    // Prove the modeled semantics are the operator's semantics by
+    // forcing the cap to bind (cap=3 on 500 docs) and comparing to a
+    // from-scratch Scala implementation of the same contract.
+    val cap = 3L
+    val texts = docs.select("doc_id", "text").as[(Long, String)].collect()
+    val shingles: Map[Long, Set[String]] = texts.map { case (d, t) =>
+      val ws = t.trim.split("\\s+")
+      val sh = if (ws.length <= 3) Set(ws.mkString(" "))
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      d -> sh
+    }.toMap
+    val df = shingles.values.flatten.groupBy(identity).map { case (s, o) => s -> o.size }
+    val rare = df.collect { case (s, c) if c <= cap => s }.toSet
+    val ids = shingles.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.iterator; j <- ids.iterator if i < j
+      inter = (shingles(i) & shingles(j) & rare).size
+      if inter > 0
+      jac = inter.toDouble / (shingles(i).size + shingles(j).size - inter)
+      if jac >= 0.5
+    } yield (i, j)).toSet
+    val got = Dedup.ngramJaccardPairs(docs, n = 3, minJ = 0.5,
+        maxDocsPerShingle = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+    // and the cap genuinely binds on this corpus (otherwise the test
+    // proves nothing)
+    assert(df.values.max > cap, "cap did not bind; lower it")
   }
 
   test("signLshCandidates: complete on planted near-dups, selective on the random background") {
