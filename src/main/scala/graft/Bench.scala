@@ -48,15 +48,18 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
-      catch { case _: Throwable => failed += name }
+      val ok = try { fn(spark, sfDir).count(); true }
+        catch { case _: Throwable => failed += name; false }
       val sec = (System.nanoTime() - t0) / 1e9
       // drop blocks persisted inside operators (dedup/LSH) so later
       // queries aren't measured under another query's memory pressure
       spark.catalog.clearCache()
-      name -> sec
+      // a failed query's time-to-throw is NOT a timing: keeping it in
+      // "queries"/total would deflate cross-round comparisons (the
+      // failure itself is reported via "failed")
+      if (ok) Some(name -> sec) else None
     }
 
     // KG pipeline throughput over a materialized parquet corpus (the

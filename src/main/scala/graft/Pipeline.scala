@@ -50,6 +50,35 @@ object Pipeline {
   val Stages: Seq[String] =
     Seq("extract", "entities", "link_edges", "assign", "nodes", "edges")
 
+  /** Stage-3 logic (shared by `run` and the oracle-checked
+    * `kg_nodes_exact` query): canonical id per entity via connected
+    * components over the link edges; singleton entities (no link edge)
+    * canonicalize to themselves. Returns (assignments, cc iterations).
+    */
+  def assignCanonical(ents: DataFrame, links: DataFrame,
+                      hotThreshold: Long = 100000L): (DataFrame, Int) = {
+    val cc = ConnectedComponents.run(links, hotThreshold)
+    val assign = cc.assignments.withColumnRenamed("id", "entityId")
+    val out = ents.join(assign, Seq("entityId"), "left")
+      .select(col("pred"), col("obj"), col("norm"), col("entityId"),
+        coalesce(col("comp"), col("entityId")).as("canonicalId"))
+    (out, cc.iterations)
+  }
+
+  /** Stage-4a logic: node table from canonical assignments. The
+    * canonical surface form is the (norm, obj)-minimal member —
+    * deterministic; kind is constant within a component (linking never
+    * crosses preds).
+    */
+  def nodeTable(assign: DataFrame): DataFrame =
+    assign.groupBy("canonicalId")
+      .agg(
+        min(struct(col("norm"), col("obj"))).as("m"),
+        min(col("pred")).as("kind"),
+        count(lit(1)).as("memberCount"))
+      .select(col("canonicalId"), col("m.obj").as("canonical"), col("kind"),
+        col("memberCount"))
+
   def run(spark: SparkSession, files: Dataset[SourceFile], runDir: String,
           runId: String, cfg: Config = Config()): Result = {
     import spark.implicits._
@@ -81,8 +110,12 @@ object Pipeline {
     }
     val raw = raw0.withColumn("subj", concat($"repo", lit("/"), $"path"))
 
-    // q partition pruning: these scans never touch quarantine rows
-    val triples = raw.filter(!$"q").drop("q")
+    // q partition pruning: these scans never touch quarantine rows.
+    // The partition column is WRITTEN as boolean but read back as
+    // STRING (partition inference never infers booleans) — cast
+    // explicitly rather than leaning on implicit string→boolean
+    // coercion surviving ANSI rule changes.
+    val triples = raw.filter(!$"q".cast("boolean")).drop("q")
 
     // Stage 2a — entity surface forms
     val ents = Snapshots.stage(spark, runDir, "entities", runId, resume) {
@@ -93,10 +126,11 @@ object Pipeline {
     // The fuzzy-presence probe runs against the MATERIALIZED entities
     // snapshot (narrow, already on storage, limit-1 semantics) — not
     // against live extraction lineage, which would re-run the content
-    // scan.
-    val fuzzyNonEmpty =
-      !ents.filter(col("pred").isin(Linking.FuzzyPreds: _*)).isEmpty
+    // scan. It lives INSIDE the stage block so a resumed run (stage
+    // manifest already present) never pays the probe job.
     val links = Snapshots.stage(spark, runDir, "link_edges", runId, resume) {
+      val fuzzyNonEmpty =
+        !ents.filter(col("pred").isin(Linking.FuzzyPreds: _*)).isEmpty
       Linking.linkEdges(ents, cfg.link, Some(fuzzyNonEmpty),
         sizeHint = Some(Snapshots.readManifest(runDir, "entities").rows))
     }
@@ -106,26 +140,15 @@ object Pipeline {
     var ccIters = 0
     val assign = Snapshots.stage(spark, runDir, "assign", runId, resume,
       metrics = Map("ccIterations" -> ccIters.toString)) {
-      val cc = ConnectedComponents.run(links, cfg.hotThreshold)
-      ccIters = cc.iterations
-      ents.join(cc.assignments.withColumnRenamed("id", "entityId"),
-          Seq("entityId"), "left")
-        .select($"pred", $"obj", $"norm", $"entityId",
-          coalesce($"comp", $"entityId").as("canonicalId"))
+      val (a, iters) = assignCanonical(ents, links, cfg.hotThreshold)
+      ccIters = iters
+      a
     }
 
-    // Stage 4a — nodes: deterministic canonical surface form = the
-    // (norm, obj)-minimal member; kind is constant within a component
-    // (linking never crosses preds).
+    // Stage 4a — nodes (shared nodeTable logic).
     val nodes = Snapshots.stage(spark, runDir, "nodes", runId, resume,
       partitionBy = Seq("kind")) {
-      assign.groupBy("canonicalId")
-        .agg(
-          min(struct($"norm", $"obj")).as("m"),
-          min($"pred").as("kind"),
-          count(lit(1)).as("memberCount"))
-        .select($"canonicalId", $"m.obj".as("canonical"), $"kind",
-          $"memberCount")
+      nodeTable(assign)
     }
 
     // Stage 4b — edges: triples rewritten onto canonical ids. The

@@ -40,12 +40,33 @@ object SparkEntry {
 
   /** Flagship: the KG extraction stage over a deterministic synthetic
     * source-code corpus (BASELINE.json input_hint shape); driver
-    * smoke-checks rows>0.
+    * smoke-checks rows>0. Deliberately ignores the testdata dir: the
+    * smoke contract needs the `files(repo,path,commit,lang,content)`
+    * table, which the driver's TPC-H-ish tables don't carry, so the
+    * corpus is generated in-memory (seeded, 500 files).
     */
   def entry(spark: SparkSession): DataFrame = {
     val files = fixtures.FilesGen.dataset(spark, 500L)
     graft.extract.Extraction.triples(
       graft.extract.Extraction.extract(files)).toDF()
+  }
+
+  /** Stage the single events parquet into a temp dir (FileStreamSource
+    * needs a directory), run `f`, then delete the staging dir — the
+    * memory sink holds the materialized rows, and repeated driver
+    * invocations must not leak disk in a long-lived session.
+    */
+  private def withStagedEvents[T](dir: String)(f: String => T): T = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream")
+    try {
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$dir/events.parquet"),
+        staged.resolve("events.parquet"))
+      f(staged.toString)
+    } finally {
+      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+      java.nio.file.Files.deleteIfExists(staged)
+    }
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -274,36 +295,31 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       val batch = t(dir, "events")
       s.catalog.dropTempView("stream_windowed_mem")
-      // FileStreamSource requires a directory: stage the single file
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Path.of(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
-      val src = s.readStream.schema(batch.schema).parquet(staged.toString)
-      graft.streaming.Streaming.runToMemory(s,
-          graft.streaming.Streaming.windowedEventCounts(src),
-          "stream_windowed_mem",
-          org.apache.spark.sql.streaming.OutputMode.Complete())
-        .select(col("w_start").cast("timestamp_ntz").as("w_start"),
-          col("event_type"), col("n"), col("sum_value"))
+      withStagedEvents(dir) { staged =>
+        val src = s.readStream.schema(batch.schema).parquet(staged)
+        graft.streaming.Streaming.runToMemory(s,
+            graft.streaming.Streaming.windowedEventCounts(src),
+            "stream_windowed_mem",
+            org.apache.spark.sql.streaming.OutputMode.Complete())
+          .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+            col("event_type"), col("n"), col("sum_value"))
+      }
     }),
     "stream_sessionize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
       val batch = t(dir, "events")
       s.catalog.dropTempView("stream_sessions_mem")
-      val staged = java.nio.file.Files.createTempDirectory("graft-stream-s")
-      java.nio.file.Files.copy(
-        java.nio.file.Path.of(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
-      val src = s.readStream.schema(batch.schema).parquet(staged.toString)
-        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
-          col("user_id"))
-        .as[graft.streaming.Streaming.Ev]
-      graft.streaming.Streaming.runToMemory(s,
-        graft.streaming.Streaming.sessionizeStream(src, 1800L).toDF(),
-        "stream_sessions_mem",
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      withStagedEvents(dir) { staged =>
+        val src = s.readStream.schema(batch.schema).parquet(staged)
+          .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+            col("user_id"))
+          .as[graft.streaming.Streaming.Ev]
+        graft.streaming.Streaming.runToMemory(s,
+          graft.streaming.Streaming.sessionizeStream(src, 1800L).toDF(),
+          "stream_sessions_mem",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
     }),
     // ---- the KG pipeline itself, end to end, as a query ----
     "kg_pipeline_nodes" -> ((s, dir) => {
@@ -319,6 +335,30 @@ object SparkEntry {
         graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
       graft.store.Snapshots.read(s, runDir, "nodes")
         .select("canonical", "kind", "memberCount")
+    }),
+    // the KG extract→link→canonicalize composition with a DuckDB twin:
+    // mention surface forms are derived from the documents' word
+    // vocabulary with deterministic case/trailing-dot variants (pure
+    // doc_id arithmetic both engines recompute identically), linked by
+    // the REAL pipeline pieces (Linking.entitiesOf → linkEdges →
+    // Pipeline.assignCanonical → nodeTable). Exact-norm components are
+    // norm-equivalence classes, so the oracle computes the same nodes
+    // as a GROUP BY on the normalized form.
+    "kg_nodes_exact" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val words = TextOps.distinctWords(t(dir, "documents"))
+      val forms = words.select(lit("mentions").as("pred"),
+        when(col("doc_id") % 3 === 0, upper(col("word")))
+          .when(col("doc_id") % 3 === 1, concat(col("word"), lit(".")))
+          .otherwise(col("word")).as("obj"))
+      val ents = graft.link.Linking.entitiesOf(forms)
+      // 'mentions' is not a fuzzy pred: exact-norm linking only
+      val links = graft.link.Linking.linkEdges(ents,
+        fuzzyNonEmpty = Some(false))
+      val (assign, _) = graft.Pipeline.assignCanonical(ents, links)
+      graft.Pipeline.nodeTable(assign)
+        .select(col("canonical"), col("kind"),
+          col("memberCount").as("member_count"))
     }),
     // ---- custom Catalyst expression (codegen'd rolling fingerprint) ----
     "doc_rolling_fp" -> ((s, dir) => {
@@ -600,6 +640,21 @@ object SparkEntry {
         |  HAVING src > min(dst))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // exact-norm KG nodes: components of exact-norm linking are the
+    // norm-equivalence classes, canonical = binary-min surface form
+    "kg_nodes_exact" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents) WHERE length(word) > 0),
+        |forms AS (SELECT DISTINCT
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(word)
+        |         WHEN doc_id % 3 = 1 THEN word || '.'
+        |         ELSE word END AS obj FROM w),
+        |n AS (SELECT obj, regexp_replace(regexp_replace(lower(trim(obj)),
+        |    '\s+', ' ', 'g'), '\.+$', '') AS norm FROM forms)
+        |SELECT min(obj) AS canonical, 'mentions' AS kind,
+        |  count(*) AS member_count
+        |FROM n GROUP BY norm""".stripMargin,
     // brute-force twin of the banded SimHash pairs (banding is
     // pigeonhole-complete for hamming<=3, so the sets are equal); the
     // word hash is md5_number_lower, which the Spark side reassembles

@@ -1,7 +1,6 @@
 package graft.link
 
 import graft.Triple
-import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -14,12 +13,12 @@ import org.apache.spark.sql.functions._
   *     (lowercase, whitespace collapse, trailing dots stripped) link
   *     directly — a groupBy on the blocking key (pred, norm).
   *  2. MinHash-LSH candidates: 3-gram character shingles of the
-  *     normalized form → HashingTF → MLlib MinHashLSH
-  *     `approxSimilarityJoin`, which generates candidates by banding
-  *     and SCORES each candidate pair with the exact Jaccard distance
-  *     inside a shuffle join (the sort-merge-join scoring phase of the
-  *     north rule). Pairs with distance ≤ (1 - threshold) and equal
-  *     pred become edges.
+  *     normalized form → hand-rolled min-xxhash64 band keys (r=1,
+  *     OR-numHashTables) joined on (pred, band, key), then each
+  *     candidate pair SCORED with the exact set Jaccard over the true
+  *     shingle sets inside a shuffle join (the sort-merge-join scoring
+  *     phase of the north rule). Pairs with Jaccard ≥ threshold and
+  *     equal pred become edges.
   *
   * Absent from the reference (it has no linking at all — SURVEY.md §2
   * "relational-operator absences"); this is the new KG capability the
@@ -40,15 +39,14 @@ object Linking {
       threshold: Double = 0.5, // min Jaccard similarity on 3-gram shingles
       numHashTables: Int = 5,
       shingleSize: Int = 3,
-      numFeatures: Int = 1 << 18,
       seed: Long = 42L,
       hotThreshold: Long = 100000L,
       // fuzzy sets at or below this size take the exact shingle-block
       // join (all pairs sharing a shingle, exact-Jaccard scored) —
-      // a strict superset of the LSH candidate set with the same
-      // scoring rule, and far cheaper in fixed plan cost than the
-      // MinHashLSH fit/band machinery. Above it, banding bounds the
-      // candidate blowup (the 100 TB path).
+      // a strict superset of the banded candidate set with the SAME
+      // scoring rule, so crossing the threshold only affects recall of
+      // borderline candidates, never scores. Above it, banding bounds
+      // the candidate blowup (the 100 TB path).
       exactSmallThreshold: Long = 100000L
   )
 
@@ -65,7 +63,14 @@ object Linking {
 
   /** Distinct entity surface forms: (pred, obj, norm, entityId). */
   def entities(triples: Dataset[Triple]): DataFrame =
-    triples.select(col("pred"), col("obj")).distinct()
+    entitiesOf(triples.toDF())
+
+  /** Same over any frame with (pred, obj) columns — the entry point
+    * for callers that assemble mention tables outside the typed
+    * pipeline (e.g. the oracle-checked kg_nodes_exact query).
+    */
+  def entitiesOf(predObj: DataFrame): DataFrame =
+    predObj.select(col("pred"), col("obj")).distinct()
       .withColumn("norm", normCol(col("obj")))
       .withColumn("entityId", idCol(col("pred"), col("obj")))
 
@@ -155,28 +160,49 @@ object Linking {
       .select(col("src"), col("dst"))
   }
 
+  /** Scale fuzzy path: hand-rolled MinHash banding for candidates
+    * (key_i = min over the form's distinct shingles of
+    * xxhash64(seed+i, shingle); r=1, OR-numHashTables — the same table
+    * shape MLlib's MinHashLSH builds, without the fit step or TF
+    * feature hashing), then exact set-Jaccard re-scoring over the TRUE
+    * shingle sets with the boundary-INCLUSIVE `>= threshold` rule —
+    * i.e. exactly the scoring contract of [[exactJaccardEdges]], so
+    * crossing `exactSmallThreshold` changes only candidate recall,
+    * never the score of a surfaced pair (no TF hash collisions, no
+    * strict-vs-inclusive boundary drift).
+    */
   private def lshEdgesImpl(ents: DataFrame, cfg: Config,
                            keepDist: Boolean): DataFrame = {
-    val spark = ents.sparkSession
-    import spark.implicits._
     val shingled = withShingles(ents, cfg.shingleSize)
-    val tf = new HashingTF().setInputCol("shingles").setOutputCol("features")
-      .setNumFeatures(cfg.numFeatures).setBinary(true)
-    val feats = tf.transform(shingled)
-    val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
-      .setNumHashTables(cfg.numHashTables).setSeed(cfg.seed)
-    val model = lsh.fit(feats)
-    // approxSimilarityJoin: band-bucket join for candidates, then exact
-    // Jaccard distance on the shingle vectors as the score
-    val joined = model
-      .approxSimilarityJoin(feats, feats, 1.0 - cfg.threshold, "dist")
-      .filter($"datasetA.pred" === $"datasetB.pred")
-      .filter($"datasetA.entityId" < $"datasetB.entityId")
+    val aggs = (0 until cfg.numHashTables).map(i =>
+      min(xxhash64(lit(cfg.seed + i), col("sh"))).as(s"k$i"))
+    val keys = shingled
+      .select(col("pred"), col("entityId"), explode(col("shingles")).as("sh"))
+      .groupBy(col("pred"), col("entityId")).agg(aggs.head, aggs.tail: _*)
+    val banded = keys.select(col("pred"), col("entityId"),
+        explode(array((0 until cfg.numHashTables).map(i =>
+          struct(lit(i).as("band"), col(s"k$i").as("key"))): _*)).as("bk"))
+      .select(col("pred"), col("entityId"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = banded.as("a").join(banded.as("b"), Seq("pred", "band", "key"))
+      .filter(col("a.entityId") < col("b.entityId"))
+      .select(col("pred"), col("a.entityId").as("src"),
+        col("b.entityId").as("dst"))
+      .distinct()
+    val sets = shingled.select(col("pred"), col("entityId"), col("shingles"))
+    val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
+      .cast("double")
+    val uni = (size(col("sa.shingles")) + size(col("sb.shingles")))
+      .cast("double") - inter
+    val scored = cand
+      .join(sets.as("sa"), cand("src") === col("sa.entityId") &&
+        cand("pred") === col("sa.pred"))
+      .join(sets.as("sb"), cand("dst") === col("sb.entityId") &&
+        cand("pred") === col("sb.pred"))
+      .select(col("src"), col("dst"), (inter / uni).as("j"))
+      .filter(col("j") >= cfg.threshold)
     if (keepDist)
-      joined.select($"datasetA.entityId".as("src"),
-        $"datasetB.entityId".as("dst"), $"dist")
-    else
-      joined.select($"datasetA.entityId".as("src"),
-        $"datasetB.entityId".as("dst"))
+      scored.select(col("src"), col("dst"), (lit(1.0) - col("j")).as("dist"))
+    else scored.select(col("src"), col("dst"))
   }
 }

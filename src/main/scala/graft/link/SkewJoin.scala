@@ -38,7 +38,12 @@ object SkewJoin {
     */
   val BroadcastableRightRows = 500000L
 
-  /** left ⋈ right on `key`; `right` MUST be unique per key.
+  /** left ⋈ right on `key`; `right` MUST be unique per key AND narrow
+    * (a few small columns — an id→id mapping, not a wide dimension
+    * table): the `rightCountHint` fast path broadcasts on ROW count
+    * alone, so a 500k-row right side is assumed to be ≲ tens of MB.
+    * Callers with wide right sides should pass rightCountHint = None
+    * and let AQE decide from actual byte statistics.
     * `leftCountHint`: pass a known (or upper-bound) left row count to
     * skip the detection aggregation for small inputs — iterative
     * callers (CC) know it from their fixpoint bookkeeping.

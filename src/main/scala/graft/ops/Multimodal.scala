@@ -38,8 +38,35 @@ object Multimodal {
   final case class Frame(mediaId: Long, frameIdx: Int, tsMs: Long,
                          thumb: Array[Byte])
 
+  /** A REAL canonical 44-byte RIFF/WAVE header declaring `dataLen`
+    * bytes of PCM audio. The synthetic corpus appends only a short
+    * tail after it (header-only synthesis: declared size, truncated
+    * body) — exactly the bytes a header parser reads, without carrying
+    * minutes of fake samples through the tests.
+    */
+  private[ops] def wavHeader(sampleRate: Int, channels: Int,
+                             bitsPerSample: Int, dataLen: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val byteRate = sampleRate * channels * bitsPerSample / 8
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(byteRate)
+      .putShort((channels * bitsPerSample / 8).toShort) // block align
+      .putShort(bitsPerSample.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    bb.array()
+  }
+
   /** Deterministic synthetic media corpus: payload bytes are a pure
-    * function of (seed, id); sizes/kinds vary by id.
+    * function of (seed, id); sizes/kinds vary by id. Audio payloads
+    * are genuine WAV containers (valid header, truncated body) whose
+    * declared sample rate / duration equal the labeled metadata, so
+    * the codec's header parse is testable against ground truth.
     */
   def syntheticMedia(spark: SparkSession, n: Long,
                      seed: Long = 42L): Dataset[MediaFile] = {
@@ -53,8 +80,13 @@ object Multimodal {
         case "audio" => ("wav", 0, 0, 1000L + rnd.nextInt(60000), 16000)
         case _       => ("mp4", 320, 240, 1000L + rnd.nextInt(30000), 0)
       }
-      val payload = new Array[Byte](256 + rnd.nextInt(1024))
-      rnd.nextBytes(payload)
+      val tail = new Array[Byte](256 + rnd.nextInt(1024))
+      rnd.nextBytes(tail)
+      val payload =
+        if (kind == "audio")
+          // 16-bit mono at sr: byteRate = 2*sr; dur ms → dataLen bytes
+          wavHeader(sr, 1, 16, (dur * 2 * sr / 1000).toInt) ++ tail
+        else tail
       MediaFile(i, kind, MediaMeta(fmt, w, h, dur, sr), payload)
     }
   }
@@ -113,6 +145,59 @@ object Multimodal {
       md.update(payload)
       md.update(frameIdx.toByte)
       md.digest()
+    }
+
+    /** REAL container parse (not a stub): walks RIFF/WAVE chunks and
+      * returns metadata from the fmt and data declarations — sample
+      * rate from fmt, duration from declared data size / byte rate.
+      * Reads only declared sizes, so a truncated body (or a payload
+      * streamed head-first at 100 TB scale) parses fine. Returns None
+      * for unrecognized containers; callers fall back to labeled
+      * metadata — the production seam for the remaining formats.
+      */
+    def parseMeta(payload: Array[Byte]): Option[MediaMeta] = {
+      if (payload.length < 44) return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fourCC(off: Int) = new String(payload, off, 4, "US-ASCII")
+      if (fourCC(0) != "RIFF" || fourCC(8) != "WAVE") return None
+      var off = 12L
+      var sampleRate = 0
+      var byteRate = 0
+      var dataLen = -1L
+      // chunk walk over the DECLARED layout (payload may be truncated);
+      // Long offsets + unsigned sizes keep adversarial declarations
+      // from wrapping the cursor backwards
+      while (off + 8 <= payload.length && (sampleRate == 0 || dataLen < 0)) {
+        val o = off.toInt
+        val id = fourCC(o)
+        val size = bb.getInt(o + 4).toLong & 0xffffffffL
+        if (id == "fmt " && off + 24 <= payload.length) {
+          sampleRate = bb.getInt(o + 12)
+          byteRate = bb.getInt(o + 16)
+        } else if (id == "data") {
+          dataLen = size
+        }
+        off += 8L + size + (size & 1L) // chunks are word-aligned
+      }
+      if (sampleRate <= 0 || byteRate <= 0 || dataLen < 0) None
+      else Some(MediaMeta("wav", 0, 0, dataLen * 1000L / byteRate, sampleRate))
+    }
+  }
+
+  /** Container-header metadata extraction: one pooled codec per
+    * partition; rows whose payload is a recognized container (WAV/RIFF
+    * today) get their metadata REPLACED by the parsed values, others
+    * keep the labeled metadata. At scale this is the "trust the bytes,
+    * not the catalog" pass — pure map, no shuffle.
+    */
+  def withParsedMeta(media: Dataset[MediaFile]): Dataset[MediaFile] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = new StubCodec
+      it.map(m => codec.parseMeta(m.payload)
+        .map(pm => m.copy(meta = pm)).getOrElse(m))
     }
   }
 

@@ -73,6 +73,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionizer crash/restart: checkpoint resume reproduces the batch result") {
+    val base = java.nio.file.Files.createTempDirectory("graft-restart")
+    val srcDir = base.resolve("src"); java.nio.file.Files.createDirectories(srcDir)
+    val outDir = s"$base/out"
+    val ckDir = s"$base/ck"
+    val evs = batch.select($"event_id", $"ts".cast("timestamp").as("ts"),
+      $"user_id")
+
+    // split the corpus BY TIME so sessions straddle the restart: the
+    // second half only sessionizes correctly if the first run's state
+    // survives in the checkpoint
+    val med = evs.agg(expr("percentile(unix_timestamp(ts), 0.5)"))
+      .head().getDouble(0)
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-half").toString
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = java.nio.file.Files.list(java.nio.file.Path.of(tmp))
+        .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+      java.nio.file.Files.copy(part, srcDir.resolve(s"$name.parquet"))
+    }
+    def startQuery() = Streaming.sessionizeStream(
+        spark.readStream.schema(evs.schema).parquet(srcDir.toString)
+          .as[Streaming.Ev],
+        gapSeconds = 1800L, watermarkDelay = "365 days")
+      .toDF().writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode(OutputMode.Append()).start()
+
+    stage(evs.filter(unix_timestamp($"ts") <= med), "half1")
+    val q1 = startQuery()
+    q1.processAllAvailable()
+    q1.stop() // the "crash": stop mid-corpus, state only in the checkpoint
+    val afterRun1 = spark.read.parquet(outDir).count()
+    assert(afterRun1 > 0 && afterRun1 < batch.count(),
+      s"restart test must stop mid-corpus, saw $afterRun1 rows")
+
+    stage(evs.filter(unix_timestamp($"ts") > med), "half2")
+    val q2 = startQuery() // fresh query, same checkpoint → resumes
+    try q2.processAllAvailable() finally q2.stop()
+
+    val got = spark.read.parquet(outDir)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = Relational.sessionize(batch, 1800L)
+      .select($"event_id", $"user_id", $"session_seq".cast("long"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == expected && got.nonEmpty,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
+
   test("stateful streaming sessionization == batch window sessionization") {
     val evs = streamSource()
       .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id")
