@@ -181,6 +181,24 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           col("session_seq").cast("long"))
     }),
+    // as-of join (union + running-window, one shuffle — no inequality
+    // join): every click matched to the user's most recent prior (or
+    // simultaneous) purchase; inner semantics via the null filter to
+    // mirror DuckDB's ASOF JOIN
+    "asof_join" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val ev = t(dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("purchase_id"), col("value"))
+      Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts")
+        .filter(col("asof_purchase_id").isNotNull)
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp_ntz").as("ts"),
+          col("asof_purchase_id").as("prior_purchase_id"),
+          round(col("asof_value"), 4).as("prior_value"))
+    }),
     "json_extract" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       t(dir, "events").select(col("event_id"),
@@ -516,6 +534,12 @@ object SparkEntry {
         |    FROM events))""".stripMargin,
     "json_extract" ->
       "SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events",
+    "asof_join" ->
+      """SELECT l.event_id, l.user_id, l.ts,
+        |  r.event_id AS prior_purchase_id, round(r.value, 4) AS prior_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') l
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
     "profile_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  round(sum(l_quantity), 4) AS sum_qty

@@ -75,6 +75,83 @@ object FilesGen {
     "with", "stable", "hashes", "for", "each", "commit", "under", "load"
   )
 
+  // ---- long-tail entity population -------------------------------------
+  //
+  // The fixed pools above are the HEAD: a handful of hot entities that
+  // exercise skew and pin the linking spec's unite/separate assertions.
+  // Real corpora also carry a long tail of entities whose count grows
+  // with corpus size — without it, linking and connected components are
+  // fixed-cost toys no matter how many files the bench generates. Each
+  // long-tail entity is a logical id in [0, LongTailSpace) whose surface
+  // words are letter-only syllable encodings of splitmix64 mixes of the
+  // id: distinct ids share no full word (word space ≈ 421k per slot), so
+  // the worst-case 3-gram Jaccard between DIFFERENT logical domains
+  // (same first word, same tld) is ≈ 0.36 < the 0.5 linking threshold —
+  // the tail adds linking WORK, never linking chains.
+  private[fixtures] val LongTailSpace = 1 << 18
+  private val LongTailProb = 0.7 // per mention: tail vs fixed-pool head
+  private val tldPool = Vector("org", "net", "dev", "xyz")
+
+  private def mix64(x: Long): Long = { // splitmix64 finalizer
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private val cons = "bcdfgklmnprstvz"
+  private val vows = "aeiou"
+
+  /** Letter-only 6-char pseudo-word (3 consonant-vowel syllables) of a
+    * 64-bit value — deterministic, digit-free (digit-heavy strings
+    * shingle-collide across unrelated entities).
+    */
+  private[fixtures] def syllWord(x: Long): String = {
+    var h = mix64(x)
+    val sb = new StringBuilder(6)
+    var i = 0
+    while (i < 3) {
+      sb.append(cons(java.lang.Long.remainderUnsigned(h, cons.length.toLong).toInt))
+      h = java.lang.Long.divideUnsigned(h, cons.length.toLong)
+      sb.append(vows(java.lang.Long.remainderUnsigned(h, vows.length.toLong).toInt))
+      h = java.lang.Long.divideUnsigned(h, vows.length.toLong)
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Canonical long-tail host for a logical id: `w1-w2.tld`. The tld is
+    * a function of the id (same words ⇒ same tld), so two hosts that
+    * differ only in tld never exist and cannot fuzzy-link.
+    */
+  private[fixtures] def longTailHost(id: Long): String = {
+    val w1 = syllWord(mix64(id * 4 + 1))
+    val w2 = syllWord(mix64(id * 4 + 2))
+    s"$w1-$w2.${tldPool((mix64(id * 4 + 3) & 3L).toInt)}"
+  }
+
+  /** A surface variant of the long-tail host: canonical (exact tier),
+    * cased / trailing-dot (normalize away), or www.-prefixed (survives
+    * normalization — 3-gram Jaccard vs canonical ≈ 0.79, fuzzy tier).
+    */
+  private def longTailDomainVariant(rnd: scala.util.Random): String = {
+    val base = longTailHost(rnd.nextInt(LongTailSpace).toLong)
+    rnd.nextDouble() match {
+      case d if d < 0.45 => base
+      case d if d < 0.65 =>
+        base.split('-') match { case Array(a, b) => s"${a.capitalize}-${b.capitalize}" }
+      case d if d < 0.80 => base + "."
+      case _             => "www." + base
+    }
+  }
+
+  /** Long-tail function-name suffix (defines/calls predicates link by
+    * exact norm only — no shingles — so entity growth here scales the
+    * groupBy side of linking and the node table, not the LSH join).
+    */
+  private def longTailFn(rnd: scala.util.Random): String =
+    syllWord(mix64(rnd.nextInt(LongTailSpace).toLong * 2 + 1))
+
   /** Zipf over k items: P(i) ∝ 1/(i+1). */
   private def zipf(rnd: scala.util.Random, k: Int): Int = {
     val norm = (1 to k).map(1.0 / _).sum
@@ -121,11 +198,11 @@ object FilesGen {
     val sb = new StringBuilder
     def maybe(p: Double)(body: => Unit): Unit = if (rnd.nextDouble() < p) body
 
-    def urlLine(prefix: String, j: Int): Unit = {
-      val dom = pick(rnd, domainPool)
-      val variant = pick(rnd, domainVariants(dom))
-      sb.append(s"$prefix see https://$variant/guide/$j\n")
-    }
+    def domainMention(): String =
+      if (rnd.nextDouble() < LongTailProb) longTailDomainVariant(rnd)
+      else pick(rnd, domainVariants(pick(rnd, domainPool)))
+    def urlLine(prefix: String, j: Int): Unit =
+      sb.append(s"$prefix see https://${domainMention()}/guide/$j\n")
     def tagsLine(prefix: String): Unit = {
       val n = 2 + rnd.nextInt(3)
       val tags = (0 until n).map(_ => pick(rnd, tagPool)).distinct
@@ -163,7 +240,12 @@ object FilesGen {
         maybe(0.5)(urlLine("//", j))
         maybe(0.3)(refLine("//"))
         sb.append(s"object Service$j {\n")
-        sb.append(s"  def handle$j(x: Int): Int = transform$k(x) + parse$k(x)\n")
+        val (hn, tn, pn) =
+          if (rnd.nextDouble() < LongTailProb)
+            (s"handle_${longTailFn(rnd)}", s"transform_${longTailFn(rnd)}",
+              s"parse_${longTailFn(rnd)}")
+          else (s"handle$j", s"transform$k", s"parse$k")
+        sb.append(s"  def $hn(x: Int): Int = $tn(x) + $pn(x)\n")
         maybe(0.3)(sb.append(s"  def render$k(s: String): String = s.trim\n"))
         maybe(0.25)(complianceLine("//", asCode = true))
         sb.append("}\n")
@@ -175,8 +257,13 @@ object FilesGen {
         maybe(0.4)(questionLine("#"))
         maybe(0.5)(urlLine("#", j))
         maybe(0.3)(refLine("#"))
-        sb.append(s"def process_$j(data):\n")
-        sb.append(s"    return clean_$k(normalize_$k(data))\n")
+        val (dn, cn, nn) =
+          if (rnd.nextDouble() < LongTailProb)
+            (s"process_${longTailFn(rnd)}", s"clean_${longTailFn(rnd)}",
+              s"normalize_${longTailFn(rnd)}")
+          else (s"process_$j", s"clean_$k", s"normalize_$k")
+        sb.append(s"def $dn(data):\n")
+        sb.append(s"    return $cn($nn(data))\n")
         maybe(0.25)(complianceLine("#", asCode = false))
       case "md" =>
         sb.append(s"# Guide $j\n\n")
@@ -194,9 +281,7 @@ object FilesGen {
         maybe(0.3)(refLine(""))
         maybe(0.2)(complianceLine("", asCode = false))
       case "json" =>
-        val dom = pick(rnd, domainPool)
-        val variant = pick(rnd, domainVariants(dom))
-        sb.append(s"""{"name": "$pkg-$name-$j$k", "homepage": "https://$variant/", "lang": "json"}\n""")
+        sb.append(s"""{"name": "$pkg-$name-$j$k", "homepage": "https://${domainMention()}/", "lang": "json"}\n""")
       }
     }
     // a small fraction of oversize docs to exercise the token guard

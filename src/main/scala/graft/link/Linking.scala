@@ -13,12 +13,13 @@ import org.apache.spark.sql.functions._
   *     (lowercase, whitespace collapse, trailing dots stripped) link
   *     directly — a groupBy on the blocking key (pred, norm).
   *  2. MinHash-LSH candidates: 3-gram character shingles of the
-  *     normalized form → hand-rolled min-xxhash64 band keys (r=1,
-  *     OR-numHashTables) joined on (pred, band, key), then each
-  *     candidate pair SCORED with the exact set Jaccard over the true
-  *     shingle sets inside a shuffle join (the sort-merge-join scoring
-  *     phase of the north rule). Pairs with Jaccard ≥ threshold and
-  *     equal pred become edges.
+  *     normalized form, stop shingles (df above a scale-free cap)
+  *     removed, → hand-rolled min-xxhash64 band keys (rowsPerBand
+  *     AND-amplified per band, OR across bands) joined on
+  *     (pred, band, key), then each candidate pair SCORED with the
+  *     exact set Jaccard over the true shingle sets inside a shuffle
+  *     join (the sort-merge-join scoring phase of the north rule).
+  *     Pairs with Jaccard ≥ threshold and equal pred become edges.
   *
   * Absent from the reference (it has no linking at all — SURVEY.md §2
   * "relational-operator absences"); this is the new KG capability the
@@ -37,18 +38,46 @@ object Linking {
 
   final case class Config(
       threshold: Double = 0.5, // min Jaccard similarity on 3-gram shingles
-      numHashTables: Int = 5,
+      // banding: `bands` OR-amplified bands of `rowsPerBand`
+      // AND-amplified minhashes. r>1 is what keeps candidate volume
+      // near-linear on real corpora: entities sharing COMMON substrings
+      // (every .org host shares the tld shingles) have pairwise J ≈
+      // 0.1, and with r=1 each such pair collides per band with p=J —
+      // a disguised all-pairs join (the same failure mode the round-2
+      // RP-LSH had in cosine space). Measured on the 200k-file bench
+      // fixture (466k fuzzy forms): r=3/b=16 still surfaced 35M noise
+      // candidates from J≈0.08 shingle-sharing pairs; r=4 drops that
+      // two orders (J⁴ ≈ 3.5e-5 per band) while true pairs (J ≥ 0.75)
+      // collide at ≈ 0.37 per band, so 20 bands give per-pair recall
+      // ≈ 1 - 1e-4. Borderline pairs follow the usual S-curve
+      // (j=0.6 → ~94% recall); the exact-Jaccard re-score means
+      // precision is always 1.0.
+      bands: Int = 20,
+      rowsPerBand: Int = 4,
       shingleSize: Int = 3,
+      // stop-shingle cap for candidate BLOCKING (scoring always uses
+      // the full shingle sets): shingles present in more than
+      // max(maxShingleDf, maxShingleDfFrac * |entities|) forms carry no
+      // discriminative signal (tlds, separators) and only fill hot
+      // blocks. Fraction-based because any finite shingle universe
+      // saturates as the corpus grows — an absolute cap alone would
+      // eventually mark EVERY shingle hot and silently drop all
+      // candidates.
+      maxShingleDf: Long = 1000L,
+      maxShingleDfFrac: Double = 0.02,
       seed: Long = 42L,
       hotThreshold: Long = 100000L,
       // fuzzy sets at or below this size take the exact shingle-block
-      // join (all pairs sharing a shingle, exact-Jaccard scored) —
-      // a strict superset of the banded candidate set with the SAME
-      // scoring rule, so crossing the threshold only affects recall of
-      // borderline candidates, never scores. Above it, banding bounds
-      // the candidate blowup (the 100 TB path).
-      exactSmallThreshold: Long = 100000L
-  )
+      // join (all pairs sharing a non-stop shingle, exact-Jaccard
+      // scored) — a strict superset of the banded candidate set with
+      // the SAME scoring rule, so crossing the threshold only affects
+      // recall of borderline candidates, never scores. Above it,
+      // banding bounds the candidate blowup (the 100 TB path).
+      exactSmallThreshold: Long = 20000L
+  ) {
+    def stopShingleCap(nEntities: Long): Long =
+      math.max(maxShingleDf, (maxShingleDfFrac * nEntities).toLong)
+  }
 
   /** Normalized blocking form. */
   def normCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
@@ -92,9 +121,14 @@ object Linking {
     val fuzzy =
       if (!fuzzyNonEmpty.getOrElse(!fuzzyEnts.isEmpty))
         Seq.empty[(Long, Long)].toDF("src", "dst")
-      else if (sizeHint.exists(_ <= cfg.exactSmallThreshold))
-        exactJaccardEdges(fuzzyEnts, cfg)
-      else lshEdges(fuzzyEnts, cfg)
+      else {
+        // stop-shingle cap needs the fuzzy population size; an upper
+        // bound (total entities from the stage manifest) only RAISES
+        // the cap, i.e. keeps more shingles as blocking keys — safe.
+        val n = sizeHint.getOrElse(fuzzyEnts.count())
+        if (n <= cfg.exactSmallThreshold) exactJaccardEdges(fuzzyEnts, cfg, n)
+        else lshEdges(fuzzyEnts, cfg, n)
+      }
     exact.unionByName(fuzzy).distinct()
   }
 
@@ -119,11 +153,11 @@ object Linking {
   }
 
   private[link] def lshEdgesWithDist(ents: DataFrame, cfg: Config): DataFrame =
-    lshEdgesImpl(ents, cfg, keepDist = true)
+    lshEdgesImpl(ents, cfg, ents.count(), keepDist = true)
 
-  /** Path 2: MinHash-LSH candidate generation + exact-Jaccard scoring. */
-  private[link] def lshEdges(ents: DataFrame, cfg: Config): DataFrame =
-    lshEdgesImpl(ents, cfg, keepDist = false)
+  /** Path 2: banded-MinHash candidate generation + exact-Jaccard scoring. */
+  private[link] def lshEdges(ents: DataFrame, cfg: Config, n: Long): DataFrame =
+    lshEdgesImpl(ents, cfg, n, keepDist = false)
 
   /** Distinct character k-shingles of the padded norm, computed with
     * codegen'd higher-order functions (no UDF).
@@ -138,57 +172,34 @@ object Linking {
         expr(s"transform(sequence(0, length(padded) - $k), i -> substring(padded, i + 1, $k))")))
       .drop("padded")
 
-  /** Small-set fuzzy path: exact shingle-block join. Candidates = all
-    * pairs of same-pred forms sharing at least one k-shingle (a strict
-    * superset of what banding can surface), scored with exact set
-    * Jaccard on the distinct-shingle counts — the same rule the LSH
-    * path applies to its candidates.
+  /** Exploded (pred, entityId, sh) blocking rows with STOP SHINGLES
+    * removed: a shingle present in more than `cap` same-pred forms is
+    * a non-discriminative substring (tld, separator run) whose block
+    * holds up to cap² candidate pairs of ~zero-Jaccard noise. Scoring
+    * still runs on the full sets; the only recall cost is pairs whose
+    * ENTIRE overlap is stop shingles — such pairs sit far below any
+    * sane threshold unless their forms are nothing but boilerplate.
+    * Both fuzzy paths block on this same universe, which is what keeps
+    * the exact path a strict candidate superset of the banded path.
     */
-  private[link] def exactJaccardEdges(ents: DataFrame, cfg: Config): DataFrame = {
-    val shingled = withShingles(ents, cfg.shingleSize)
+  private def blockingShingles(shingled: DataFrame, cap: Long): DataFrame = {
     val ex = shingled.select(col("pred"), col("entityId"),
-      size(col("shingles")).as("sz"), explode(col("shingles")).as("sh"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.pred") === col("b.pred") && col("a.sh") === col("b.sh") &&
-          col("a.entityId") < col("b.entityId"))
-      .groupBy(col("a.entityId").as("src"), col("b.entityId").as("dst"),
-        col("a.sz").as("sza"), col("b.sz").as("szb"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .filter(col("inter").cast("double") /
-        (col("sza") + col("szb") - col("inter")) >= cfg.threshold)
-      .select(col("src"), col("dst"))
+      explode(col("shingles")).as("sh"))
+    // (pred, entityId) rows are distinct, so count(1) per (pred, sh)
+    // is the document frequency; the hot set is tiny → broadcast anti
+    val hot = ex.groupBy("pred", "sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap).select("pred", "sh")
+    ex.join(broadcast(hot), Seq("pred", "sh"), "left_anti")
   }
 
-  /** Scale fuzzy path: hand-rolled MinHash banding for candidates
-    * (key_i = min over the form's distinct shingles of
-    * xxhash64(seed+i, shingle); r=1, OR-numHashTables — the same table
-    * shape MLlib's MinHashLSH builds, without the fit step or TF
-    * feature hashing), then exact set-Jaccard re-scoring over the TRUE
-    * shingle sets with the boundary-INCLUSIVE `>= threshold` rule —
-    * i.e. exactly the scoring contract of [[exactJaccardEdges]], so
-    * crossing `exactSmallThreshold` changes only candidate recall,
-    * never the score of a surfaced pair (no TF hash collisions, no
-    * strict-vs-inclusive boundary drift).
+  /** Exact set-Jaccard scoring of candidate pairs over the TRUE
+    * (unfiltered) shingle sets with the boundary-INCLUSIVE
+    * `>= threshold` rule — the single scoring contract both fuzzy
+    * paths share (the sort-merge-join scoring phase of the north
+    * rule).
     */
-  private def lshEdgesImpl(ents: DataFrame, cfg: Config,
-                           keepDist: Boolean): DataFrame = {
-    val shingled = withShingles(ents, cfg.shingleSize)
-    val aggs = (0 until cfg.numHashTables).map(i =>
-      min(xxhash64(lit(cfg.seed + i), col("sh"))).as(s"k$i"))
-    val keys = shingled
-      .select(col("pred"), col("entityId"), explode(col("shingles")).as("sh"))
-      .groupBy(col("pred"), col("entityId")).agg(aggs.head, aggs.tail: _*)
-    val banded = keys.select(col("pred"), col("entityId"),
-        explode(array((0 until cfg.numHashTables).map(i =>
-          struct(lit(i).as("band"), col(s"k$i").as("key"))): _*)).as("bk"))
-      .select(col("pred"), col("entityId"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = banded.as("a").join(banded.as("b"), Seq("pred", "band", "key"))
-      .filter(col("a.entityId") < col("b.entityId"))
-      .select(col("pred"), col("a.entityId").as("src"),
-        col("b.entityId").as("dst"))
-      .distinct()
+  private def scorePairs(cand: DataFrame, shingled: DataFrame,
+                         cfg: Config, keepDist: Boolean): DataFrame = {
     val sets = shingled.select(col("pred"), col("entityId"), col("shingles"))
     val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
       .cast("double")
@@ -204,5 +215,62 @@ object Linking {
     if (keepDist)
       scored.select(col("src"), col("dst"), (lit(1.0) - col("j")).as("dist"))
     else scored.select(col("src"), col("dst"))
+  }
+
+  /** Small-set fuzzy path: exact shingle-block join. Candidates = all
+    * pairs of same-pred forms sharing at least one non-stop k-shingle
+    * (a strict superset of what banding can surface), scored by
+    * [[scorePairs]] on the full sets.
+    */
+  private[link] def exactJaccardEdges(ents: DataFrame, cfg: Config,
+                                      n: Long): DataFrame = {
+    val shingled = withShingles(ents, cfg.shingleSize)
+    val ex = blockingShingles(shingled, cfg.stopShingleCap(n))
+    val cand = ex.as("a").join(ex.as("b"),
+        col("a.pred") === col("b.pred") && col("a.sh") === col("b.sh") &&
+          col("a.entityId") < col("b.entityId"))
+      .select(col("a.pred").as("pred"), col("a.entityId").as("src"),
+        col("b.entityId").as("dst"))
+      .distinct()
+    scorePairs(cand, shingled, cfg, keepDist = false)
+  }
+
+  /** Scale fuzzy path: banded MinHash candidates — `bands` compound
+    * keys of `rowsPerBand` min-xxhash64 signatures over the stop-
+    * filtered shingle sets (AND within a band, OR across bands; same
+    * scheme as MLlib's MinHashLSH but with r>1, no fit step, and no TF
+    * feature hashing), then [[scorePairs]] on the full sets. A pair
+    * with filtered Jaccard j is surfaced with p = 1-(1-j^r)^b: at the
+    * defaults, j=0.75 → 0.9997 while j=0.1 (forms sharing only a
+    * common substring) → 0.016 — candidate volume stays ~linear in the
+    * corpus instead of quadratic.
+    */
+  private def lshEdgesImpl(ents: DataFrame, cfg: Config, n: Long,
+                           keepDist: Boolean): DataFrame = {
+    val shingled = withShingles(ents, cfg.shingleSize)
+    val ex = blockingShingles(shingled, cfg.stopShingleCap(n))
+    val nHashes = cfg.bands * cfg.rowsPerBand
+    val aggs = (0 until nHashes).map(i =>
+      min(xxhash64(lit(cfg.seed + i), col("sh"))).as(s"k$i"))
+    val keys = ex.groupBy(col("pred"), col("entityId"))
+      .agg(aggs.head, aggs.tail: _*)
+    val bandStructs = (0 until cfg.bands).map { b =>
+      struct(lit(b).as("band"),
+        struct((0 until cfg.rowsPerBand).map(r =>
+          col(s"k${b * cfg.rowsPerBand + r}").as(s"h$r")): _*).as("key"))
+    }
+    val banded = keys.select(col("pred"), col("entityId"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("pred"), col("entityId"),
+        col("bk.band").as("band"), col("bk.key").as("key"))
+    // no distinct before scoring: deduping tens of millions of
+    // candidates costs a full extra shuffle to trim the ~12% of pairs
+    // that collide in >1 band — scoring the duplicates is cheaper, and
+    // the post-score distinct (tiny output) removes the repeats
+    val cand = banded.as("a").join(banded.as("b"), Seq("pred", "band", "key"))
+      .filter(col("a.entityId") < col("b.entityId"))
+      .select(col("pred"), col("a.entityId").as("src"),
+        col("b.entityId").as("dst"))
+    scorePairs(cand, shingled, cfg, keepDist).distinct()
   }
 }

@@ -87,6 +87,46 @@ object Relational {
       .select("event_id", "user_id", "session_seq")
   }
 
+  /** As-of join: each left row picks the LATEST right row with the
+    * same key and rightTime <= leftTime (left-outer semantics — no
+    * match leaves the payload null). Right's non-key columns surface
+    * as `asof_<col>`.
+    *
+    * Spark-first plan: instead of a per-key inequality join (which
+    * Catalyst can only execute as a broadcast-nested-loop or a
+    * range-join blowup), both sides are UNIONED and sorted per key by
+    * (time, side) — right rows before left rows at equal timestamps,
+    * making the match inclusive — and a running `last(payload)` window
+    * carries the most recent right payload onto each left row. ONE
+    * shuffle on the key, no join explosion, linear in rows at any
+    * scale; the payload travels as a single struct so the matched
+    * columns always come from the SAME right row (per-column last()
+    * would tear rows when a right payload column is legitimately
+    * null). Skewed keys behave like any other wide window (AQE-sized
+    * partitions); ties between right rows on (key, time) are resolved
+    * arbitrarily — pre-dedupe the right side if that matters.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               prefix: String = "asof_"): DataFrame = {
+    val payload = right.columns.filterNot(keys.contains).toSeq
+    val r = right.select(
+      keys.map(col) :+ col(rightTime).as("__t") :+
+        struct(payload.map(col): _*).as("__p"): _*)
+      .withColumn("__is_left", lit(0))
+    val l = left
+      .withColumn("__t", col(leftTime))
+      .withColumn("__is_left", lit(1))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_left") === 1)
+      .select(left.columns.map(col) ++
+        payload.map(c => col(s"__p.$c").as(s"$prefix$c")): _*)
+  }
+
   /** Workbook-metadata flatten — the Excel per-sheet metadata analog
     * (/root/reference/python.py:511-548: sheet names, column headers,
     * merged-cell counts per sheet): one row per sheet from a nested

@@ -62,6 +62,19 @@ class LinkingCcSpec extends SparkSpec {
       groups("The Pragmatic Programmer by Andrew Hunt"))
   }
 
+  test("entity population is data-proportional (long tail, not fixed pools)") {
+    // the round-2 fixture capped out at ~140 entities at ANY corpus
+    // size, making linking/CC fixed-cost toys; the long-tail generator
+    // must keep entity count growing near-linearly while n is far
+    // below the logical-id space
+    def entCount(n: Int): Long = Linking.entities(Extraction.triples(
+      Extraction.extract(FilesGen.dataset(spark, n)))).count()
+    val e1 = entCount(500)
+    val e4 = entCount(2000)
+    assert(e1 > 500, s"500 files must already mint hundreds of entities, got $e1")
+    assert(e4 > e1 * 25 / 10, s"4x corpus must give >2.5x entities: $e1 -> $e4")
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     for (seed <- Seq(1, 7, 99)) {
       val rnd = new scala.util.Random(seed)

@@ -217,4 +217,44 @@ class OpsSpec extends SparkSpec {
       s"candidates ${cand.size} of $allPairs pairs — banding not selective")
     all.unpersist()
   }
+
+  test("asofJoin matches brute force; inclusive boundary; no row tearing") {
+    import graft.ops.Relational
+    // left: (key, t, lid); right: (key, t, rid, amt) with a null amt
+    // row to prove the matched payload stays atomic (rid and amt must
+    // come from the SAME right row, not the last non-null of each)
+    val left = Seq((1L, 10L, "l1"), (1L, 20L, "l2"), (1L, 5L, "l0"),
+      (2L, 7L, "l3"), (3L, 9L, "l4")).toDF("k", "t", "lid")
+    val right = Seq((1L, 10L, "r1", Some(1.5)), (1L, 15L, "r2", None),
+      (2L, 8L, "r3", Some(2.5))).toDF("k", "t", "rid", "amt")
+    val got = Relational.asofJoin(left, right, Seq("k"), "t", "t")
+      .select($"lid", $"asof_rid", $"asof_amt").as[(String, Option[String], Option[Double])]
+      .collect().toSet
+    assert(got == Set(
+      ("l0", None, None),              // before any right row
+      ("l1", Some("r1"), Some(1.5)),   // t=10 matches r1 at t=10: inclusive
+      ("l2", Some("r2"), None),        // r2's amt is null — NOT r1's 1.5
+      ("l3", None, None),              // right at t=8 is AFTER left t=7
+      ("l4", None, None)))             // key with no right rows at all
+
+    // brute-force parity on real data: clicks vs prior purchases
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .select($"event_id", $"ts".cast("timestamp").as("ts"), $"user_id",
+        $"event_type", $"value")
+    val clicks = ev.filter($"event_type" === "click").limit(300)
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"event_id".as("pid"))
+    val viaOp = Relational.asofJoin(clicks, purchases, Seq("user_id"), "ts", "ts")
+      .select($"event_id", $"asof_pid").as[(Long, Option[Long])].collect().toMap
+    val pRows = purchases.as[(Long, java.sql.Timestamp, Long)].collect()
+      .groupBy(_._1)
+    val expected = clicks.select($"event_id", $"user_id", $"ts")
+      .as[(Long, Long, java.sql.Timestamp)].collect().map { case (eid, u, t) =>
+        val prior = pRows.getOrElse(u, Array.empty)
+          .filter(!_._2.after(t))
+        eid -> (if (prior.isEmpty) None
+                else Some(prior.maxBy(_._2.getTime)._3))
+      }.toMap
+    assert(viaOp == expected)
+  }
 }
