@@ -301,6 +301,19 @@ object SparkEntry {
             .as("embedding"))
       Similarity.nearDupPairs(base.unionByName(pert), 0.98)
     }),
+    // IVF ANN: coarse quantizer trained on a deterministic hash-sample,
+    // inverted-list assignment as a codegen'd literal-centroid map,
+    // probe-pruned exact scoring. Rows-only (k-means centroids have no
+    // SQL twin); exactness at full probe + recall floor are ScalaTest'd
+    "ivf_topk" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val embs = t(dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val cents = Similarity.ivfTrain(embs, k = 16)
+      Similarity.ivfTopK(Similarity.ivfAssign(embs, cents), cents, q, 10,
+        nProbe = 4)
+    }),
     "lsh_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val embs = t(dir, "embeddings")

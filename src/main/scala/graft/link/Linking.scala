@@ -172,24 +172,42 @@ object Linking {
         expr(s"transform(sequence(0, length(padded) - $k), i -> substring(padded, i + 1, $k))")))
       .drop("padded")
 
-  /** Exploded (pred, entityId, sh) blocking rows with STOP SHINGLES
-    * removed: a shingle present in more than `cap` same-pred forms is
-    * a non-discriminative substring (tld, separator run) whose block
-    * holds up to cap² candidate pairs of ~zero-Jaccard noise. Scoring
-    * still runs on the full sets; the only recall cost is pairs whose
-    * ENTIRE overlap is stop shingles — such pairs sit far below any
-    * sane threshold unless their forms are nothing but boilerplate.
-    * Both fuzzy paths block on this same universe, which is what keeps
-    * the exact path a strict candidate superset of the banded path.
+  /** Adds `bsh`: the shingle array with STOP SHINGLES removed — the
+    * blocking universe. A shingle present in more than `cap` same-pred
+    * forms is a non-discriminative substring (tld, separator run)
+    * whose block holds up to cap² candidate pairs of ~zero-Jaccard
+    * noise. Scoring still runs on the full sets; the only recall cost
+    * is pairs whose ENTIRE overlap is stop shingles — such pairs sit
+    * far below any sane threshold unless their forms are nothing but
+    * boilerplate. Both fuzzy paths block on this same universe, which
+    * is what keeps the exact path a strict candidate superset of the
+    * banded path.
+    *
+    * The hot set is collected to the driver and inlined as literal
+    * arrays: it is MATHEMATICALLY tiny — Σ df over hot shingles ≤
+    * total shingle rows, so |hot| ≤ rows/cap (≈185 at the 200k-file
+    * bench) — and a literal `array_except` keeps the filter a pure
+    * map, where the previous exploded anti-join shuffled every
+    * (form, shingle) row.
     */
-  private def blockingShingles(shingled: DataFrame, cap: Long): DataFrame = {
-    val ex = shingled.select(col("pred"), col("entityId"),
-      explode(col("shingles")).as("sh"))
+  private def withBlockShingles(shingled: DataFrame, cap: Long): DataFrame = {
     // (pred, entityId) rows are distinct, so count(1) per (pred, sh)
-    // is the document frequency; the hot set is tiny → broadcast anti
-    val hot = ex.groupBy("pred", "sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") > cap).select("pred", "sh")
-    ex.join(broadcast(hot), Seq("pred", "sh"), "left_anti")
+    // is the document frequency
+    val hot = shingled
+      .select(col("pred"), explode(col("shingles")).as("sh"))
+      .groupBy("pred", "sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") > cap)
+      .select("pred", "sh").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    if (hot.isEmpty) shingled.withColumn("bsh", col("shingles"))
+    else {
+      val byPred = hot.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).toSeq }
+      val filtered = byPred.foldLeft(col("shingles")) { case (acc, (p, shs)) =>
+        when(col("pred") === p,
+          array_except(col("shingles"), array(shs.map(lit): _*))).otherwise(acc)
+      }
+      shingled.withColumn("bsh", filtered)
+    }
   }
 
   /** Exact set-Jaccard scoring of candidate pairs over the TRUE
@@ -225,7 +243,10 @@ object Linking {
   private[link] def exactJaccardEdges(ents: DataFrame, cfg: Config,
                                       n: Long): DataFrame = {
     val shingled = withShingles(ents, cfg.shingleSize)
-    val ex = blockingShingles(shingled, cfg.stopShingleCap(n))
+    // explode of an empty filtered array yields no rows — all-stop
+    // forms drop out of blocking, same as in the banded path
+    val ex = withBlockShingles(shingled, cfg.stopShingleCap(n))
+      .select(col("pred"), col("entityId"), explode(col("bsh")).as("sh"))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.pred") === col("b.pred") && col("a.sh") === col("b.sh") &&
           col("a.entityId") < col("b.entityId"))
@@ -248,16 +269,21 @@ object Linking {
   private def lshEdgesImpl(ents: DataFrame, cfg: Config, n: Long,
                            keepDist: Boolean): DataFrame = {
     val shingled = withShingles(ents, cfg.shingleSize)
-    val ex = blockingShingles(shingled, cfg.stopShingleCap(n))
     val nHashes = cfg.bands * cfg.rowsPerBand
-    val aggs = (0 until nHashes).map(i =>
-      min(xxhash64(lit(cfg.seed + i), col("sh"))).as(s"k$i"))
-    val keys = ex.groupBy(col("pred"), col("entityId"))
-      .agg(aggs.head, aggs.tail: _*)
+    // all signatures in ONE codegen'd pass per row (MinHashSigs) —
+    // the explode → groupBy → n×min(xxhash64) alternative shuffles
+    // |shingles| rows per form and re-hashes every shingle n times.
+    // Null signatures = empty blocking set (all-stop form): dropped,
+    // mirroring the exact path's empty explode.
+    val keys = withBlockShingles(shingled, cfg.stopShingleCap(n))
+      .select(col("pred"), col("entityId"),
+        graft.functions.MinHashSigs(col("bsh"), nHashes, cfg.seed).as("sigs"))
+      .filter(col("sigs").isNotNull)
     val bandStructs = (0 until cfg.bands).map { b =>
       struct(lit(b).as("band"),
         struct((0 until cfg.rowsPerBand).map(r =>
-          col(s"k${b * cfg.rowsPerBand + r}").as(s"h$r")): _*).as("key"))
+          col("sigs").getItem(b * cfg.rowsPerBand + r).as(s"h$r")): _*)
+          .as("key"))
     }
     val banded = keys.select(col("pred"), col("entityId"),
         explode(array(bandStructs: _*)).as("bk"))

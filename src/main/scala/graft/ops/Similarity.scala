@@ -127,6 +127,99 @@ object Similarity {
       .distinct()
   }
 
+  /** dot(a, b) over two array<double> columns as a codegen'd
+    * higher-order expression.
+    */
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** IVF coarse quantizer, trained driver-side on a DETERMINISTIC
+    * hash-sample (xxhash64 of the id — no orderBy/limit full sort, no
+    * RNG): spherical Lloyd iterations, seeded farthest-point-ish init
+    * from the sample order. Training on a bounded sample is the
+    * standard IVF recipe (the quantizer needs the coarse geometry, not
+    * the corpus); `sampleMod` bounds driver memory at any corpus size.
+    */
+  def ivfTrain(embs: DataFrame, k: Int = 16, iters: Int = 10,
+               sampleMod: Int = 1, seed: Long = 42L,
+               id: String = "vec_id",
+               emb: String = "embedding"): Array[Array[Double]] = {
+    val sample = embs
+      .filter(pmod(xxhash64(col(id), lit(seed)), lit(sampleMod)) === 0)
+      .select(expr(s"transform($emb, x -> cast(x as double))").as("e"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.length >= k, s"sample ${sample.length} < k=$k")
+    def unit(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+    val pts = sample.map(unit)
+    var centroids = pts.take(k).map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](pts.head.length))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var c = 0
+        while (c < k) {
+          var d = 0.0; var i = 0
+          while (i < p.length) { d += p(i) * centroids(c)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < p.length) { sums(best)(i) += p(i); i += 1 }
+      }
+      centroids = (0 until k).map { c =>
+        if (counts(c) == 0) centroids(c) else unit(sums(c))
+      }.toArray
+      it += 1
+    }
+    centroids
+  }
+
+  /** Inverted-list assignment: each vector tagged with the id of its
+    * max-cosine centroid. The centroid table is a LITERAL array in the
+    * plan (k × dim doubles — a few KB), so assignment is a pure
+    * codegen'd map with no shuffle and no UDF; at scale the output is
+    * written partitioned/bucketed by `list_id`, making every probe a
+    * partition-pruned scan.
+    */
+  def ivfAssign(embs: DataFrame, centroids: Array[Array[Double]],
+                id: String = "vec_id",
+                emb: String = "embedding"): DataFrame = {
+    val cLit = array(centroids.map(c => array(c.map(lit): _*)): _*)
+    val e = expr(s"transform($emb, x -> cast(x as double))")
+    // cosine argmax == dot argmax after the vector's own norm cancels;
+    // negate for array_min/array_position (1-based)
+    val negDots = transform(cLit, c => -dotCol(e, c))
+    embs.withColumn("list_id",
+      (array_position(negDots, array_min(negDots)) - 1).cast("int"))
+  }
+
+  /** ANN top-k through the IVF index: rank centroids against the query
+    * on the driver (k dot products), probe the `nProbe` nearest lists
+    * only, exact cosine inside the probed lists. Recall/latency dials:
+    * nProbe=k degenerates to exact brute force; nProbe=1 scans ~n/k
+    * rows.
+    */
+  def ivfTopK(assigned: DataFrame, centroids: Array[Array[Double]],
+              q: Seq[Double], k: Int, nProbe: Int = 4,
+              id: String = "vec_id",
+              emb: String = "embedding"): DataFrame = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qu = q.map(_ / qn).toArray
+    val probes = centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qu).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
+    assigned.filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
+      .select(col(id), round(cosineTo(col(emb), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(id).asc)
+      .limit(k)
+  }
+
   /** Near-duplicate pairs at scale: sign-LSH banding for candidate
     * generation (equality join on compound band keys — selective even
     * on random corpora), then EXACT cosine re-scoring of each candidate

@@ -60,4 +60,39 @@ class FunctionsSpec extends SparkSpec {
     assert(out(0) == Some(refMinHash("abcd", 4)))
     assert(out(1).isEmpty, "null input must yield null")
   }
+
+  test("minhash_sigs: permutation-min property, codegen span, empty -> null") {
+    import graft.functions.MinHashSigs
+    val sets = Seq(
+      Seq("abc", "bcd", "cde"), Seq("abc"), Seq("xyz", "abc"),
+      Seq.empty[String])
+    val df = sets.toDF("sh")
+      .select(MinHashSigs($"sh", 8, 42L).as("sigs"))
+    val got = df.collect().map(r =>
+      if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    // empty set must be null (no colliding sentinel band keys)
+    assert(got(3) == null)
+    // set-min property: sigs of a union are the elementwise min of the
+    // parts — the defining MinHash identity, checked across code paths
+    val sub = Seq(Seq("abc", "bcd"), Seq("cde")).toDF("sh")
+      .select(MinHashSigs($"sh", 8, 42L).as("sigs"))
+      .collect().map(_.getSeq[Long](0))
+    val elementwiseMin = sub(0).zip(sub(1)).map { case (x, y) => math.min(x, y) }
+    assert(got(0) == elementwiseMin)
+    // identical single-element sets agree on every signature; distinct
+    // elements disagree on most
+    assert(got(1) == Seq(Seq("abc")).toDF("sh")
+      .select(MinHashSigs($"sh", 8, 42L)).head().getSeq[Long](0))
+    // stays inside whole-stage codegen (literal inputs constant-fold
+    // into a LocalTableScan, so probe with a non-foldable source)
+    val plan = spark.range(50)
+      .select(MinHashSigs(array(concat(lit("s"), $"id".cast("string"))), 8, 42L)
+        .as("sigs"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("minhash_sigs"), plan)
+    // P(collision) = Jaccard: {abc} vs {xyz, abc} share abc -> J=0.5;
+    // with 8 sigs expect ~4 agreements, never 0 nor 8 for this seed
+    val agree = got(1).zip(got(2)).count { case (x, y) => x == y }
+    assert(agree > 0 && agree < 8, s"agreements=$agree")
+  }
 }

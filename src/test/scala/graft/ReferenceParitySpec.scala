@@ -34,6 +34,26 @@ class ReferenceParitySpec extends SparkSpec {
     assert(ExtractorRegistry.search("").size == ExtractorRegistry.all.size)
   }
 
+  test("provider catalogs: dispatch, fetch-failure fallback, prefix filter, search (A1)") {
+    import graft.extract.ProviderCatalogs
+    // live fetch + prefix whitelist + sort (python.py:74-86): beta-x
+    // filtered out, result sorted
+    assert(ProviderCatalogs.listModels("alpha") ==
+      Seq("alpha-large", "alpha-small"))
+    // fetch throws -> hardcoded fallback (python.py:142-173,198-200)
+    assert(ProviderCatalogs.listModels("beta") == Seq("beta-base", "beta-pro"))
+    // empty whitelist means no filter; still sorted
+    assert(ProviderCatalogs.listModels("local") ==
+      Seq("scanner-v1", "scanner-v2"))
+    // unknown provider answers empty, not an exception
+    assert(ProviderCatalogs.listModels("nope").isEmpty)
+    // case-insensitive substring search across providers (app.py:378-391)
+    assert(ProviderCatalogs.searchModels("ALPHA") ==
+      Seq("alpha" -> "alpha-large", "alpha" -> "alpha-small"))
+    assert(ProviderCatalogs.searchModels("scanner-v2") ==
+      Seq("local" -> "scanner-v2"))
+  }
+
   test("exportSingle produces exactly one data file") {
     val dir = java.nio.file.Files.createTempDirectory("graft-export").toString
     Snapshots.exportSingle(Seq((1, "a"), (2, "b")).toDF("id", "v"), dir)
