@@ -7,7 +7,7 @@ REPS=${REPS:-6}
 CPUS_LIST=${CPUS_LIST:-"1 4"}
 OUT=${OUT:-/tmp/scaling2_results.txt}
 CLS=/tmp/benchclasses
-CORPUS=/dev/shm/gr/corpus
+CORPUS=${CORPUS:-/dev/shm/gr/corpus}
 
 rm -rf "$CLS"
 cp -r /root/repo/target/scala-2.13/classes "$CLS"
