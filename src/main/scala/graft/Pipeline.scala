@@ -138,11 +138,15 @@ object Pipeline {
     // Stage 3 — connected components → canonical id per entity.
     // Singleton entities (no link edge) canonicalize to themselves.
     var ccIters = 0
+    // partitioned by `ident` (canonical == self) so the edges stage can
+    // read the small non-identity DELTA slice partition-pruned, and
+    // count it from the manifest's partition-dir lineage with no job
     val assign = Snapshots.stage(spark, runDir, "assign", runId, resume,
+      partitionBy = Seq("ident"),
       metrics = Map("ccIterations" -> ccIters.toString)) {
       val (a, iters) = assignCanonical(ents, links, cfg.hotThreshold)
       ccIters = iters
-      a
+      a.withColumn("ident", $"canonicalId" === $"entityId")
     }
 
     // Stage 4a — nodes (shared nodeTable logic).
@@ -151,19 +155,32 @@ object Pipeline {
       nodeTable(assign)
     }
 
-    // Stage 4b — edges: triples rewritten onto canonical ids. The
-    // assign side is unique per entityId; the triple side is skewed on
-    // hub entities → SkewJoin.
+    // Stage 4b — edges: triples rewritten onto canonical ids via the
+    // canonical DELTA map. Only entities whose canonical id DIFFERS
+    // from their own id need rewriting — a small fraction at any scale
+    // (12.5% of 2.0M at the 200k-file bench; most entities are
+    // unlinked singletons), and most of those never shrink the
+    // fraction below what broadcast can hold until the corpus is huge.
+    // Left-join the pruned ident=false slice and coalesce: when the
+    // delta fits the broadcast cap this stage shuffles NOTHING of the
+    // triple side (skew-immune by construction); beyond the cap it
+    // degrades to a left shuffle join against the delta — still
+    // strictly smaller than the full 1:1 map the previous design
+    // joined (AQE covers hub-entity skew there).
     val edges = Snapshots.stage(spark, runDir, "edges", runId, resume,
       partitionBy = Seq("pred")) {
       val withId = triples.withColumn("entityId", Linking.idCol($"pred", $"obj"))
-      SkewJoin.joinUniqueRight(
-          withId, assign.select($"entityId", $"canonicalId"),
-          "entityId", cfg.hotThreshold,
-          leftCountHint = Some(Snapshots.readManifest(runDir, "extract").rows),
-          rightCountHint = Some(Snapshots.readManifest(runDir, "assign").rows))
-        .select($"subj", $"pred", $"canonicalId", $"conf",
-          $"repo", $"path", $"commit")
+      val deltaRows = Snapshots.readManifest(runDir, "assign").fileRows
+        .collect { case (f, n) if f.startsWith("ident=false/") => n }.sum
+      val delta = assign.filter(!$"ident".cast("boolean"))
+        .select($"entityId", $"canonicalId")
+      val joined =
+        if (deltaRows <= SkewJoin.BroadcastableRightRows)
+          withId.join(broadcast(delta), Seq("entityId"), "left")
+        else withId.join(delta, Seq("entityId"), "left")
+      joined.select($"subj", $"pred",
+        coalesce($"canonicalId", $"entityId").as("canonicalId"), $"conf",
+        $"repo", $"path", $"commit")
     }
 
     // all counts come from stage manifests (no recount jobs); the
