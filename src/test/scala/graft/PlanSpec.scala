@@ -72,4 +72,20 @@ class PlanSpec extends SparkSpec {
     // partition filter present → non-matching pred dirs are never listed
     assert(plan(df).contains("PartitionFilters"), plan(df))
   }
+
+  test("asofJoin plans one shuffle and no join operator") {
+    // the whole point of the union+window design: a per-key inequality
+    // join would appear as BroadcastNestedLoopJoin (or a range-join
+    // blowup); the operator must instead show exactly one Exchange (on
+    // the key) feeding a Window, with zero join nodes
+    val left = spark.range(1000)
+      .select(($"id" % 7).as("k"), $"id".as("t"), $"id".as("lid"))
+    val right = spark.range(500)
+      .select(($"id" % 7).as("k"), ($"id" * 2).as("t"), $"id".as("rid"))
+    val p = plan(graft.ops.Relational.asofJoin(left, right, Seq("k"), "t", "t"))
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(p.contains("Window"), p)
+    assert(p.sliding("Exchange".length).count(_ == "Exchange") <= 2,
+      s"expected at most the one keyed exchange (+AQE read):\n$p")
+  }
 }
