@@ -56,15 +56,16 @@ object SparkEntry {
     * memory sink holds the materialized rows, and repeated driver
     * invocations must not leak disk in a long-lived session.
     */
-  private def withStagedEvents[T](dir: String)(f: String => T): T = {
+  private def withStagedEvents[T](dir: String, copies: Int = 1)(f: String => T): T = {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream")
     try {
-      java.nio.file.Files.copy(
+      (1 to copies).foreach(i => java.nio.file.Files.copy(
         java.nio.file.Path.of(s"$dir/events.parquet"),
-        staged.resolve("events.parquet"))
+        staged.resolve(s"events$i.parquet")))
       f(staged.toString)
     } finally {
-      java.nio.file.Files.deleteIfExists(staged.resolve("events.parquet"))
+      (1 to copies).foreach(i =>
+        java.nio.file.Files.deleteIfExists(staged.resolve(s"events$i.parquet")))
       java.nio.file.Files.deleteIfExists(staged)
     }
   }
@@ -101,6 +102,11 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextOps.fingerprint(t(dir, "documents"))
         .select(col("doc_id"), col("fp"), col("norm_len").cast("long"))
+    }),
+    "token_count_bpe" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.bpeTokenCount(t(dir, "documents"))
+        .select(col("doc_id"), col("n_bpe_tokens").cast("long"))
     }),
     "quality_score" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -336,6 +342,25 @@ object SparkEntry {
             col("event_type"), col("n"), col("sum_value"))
       }
     }),
+    // ingestion-time exact dedup: the corpus delivered TWICE (the
+    // at-least-once redelivery case), collapsed back to one row per
+    // event_id by watermark-bounded streaming state — oracle is simply
+    // the original events table
+    "stream_dedup" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val batch = t(dir, "events")
+      s.catalog.dropTempView("stream_dedup_mem")
+      withStagedEvents(dir, copies = 2) { staged =>
+        val src = s.readStream.schema(batch.schema).parquet(staged)
+        graft.streaming.Streaming.runToMemory(s,
+            graft.streaming.Streaming.dedupStream(src, Seq("event_id"),
+              watermark = "365 days"),
+            "stream_dedup_mem",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+            col("user_id"))
+      }
+    }),
     "stream_sessionize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -437,6 +462,13 @@ object SparkEntry {
         |  len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
         |  CAST(floor(len(regexp_split_to_array(trim(text), '\s+')) * 1.3) AS BIGINT) AS est_llm_tokens
         |FROM documents""".stripMargin,
+    "token_count_bpe" ->
+      """SELECT doc_id, CAST(len(regexp_extract_all(text,
+        |  '''?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+')) AS BIGINT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+    // redelivered-twice corpus deduped on ingest == the original table
+    "stream_dedup" ->
+      "SELECT event_id, ts, user_id FROM events",
     "normalize_fp" ->
       """SELECT doc_id,
         |  md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,

@@ -25,6 +25,19 @@ object TextOps {
       size(words(col(text))).as("n_tokens"),
       floor(size(words(col(text))) * 1.3).cast("int").as("est_llm_tokens"))
 
+  /** BPE-ish subword token count: word pieces (with leading
+    * apostrophe contractions), digit runs, punctuation runs — the
+    * GPT-2 pre-tokenizer family minus its lookaheads, so the pattern
+    * stays RE2-safe and SQL-twinnable. A closer LLM-cost proxy than
+    * whitespace words for code-heavy text (punctuation tokenizes).
+    */
+  def bpeTokenCount(docs: DataFrame, id: String = "doc_id",
+                    text: String = "text"): DataFrame =
+    docs.select(col(id),
+      size(regexp_extract_all(col(text),
+        lit("'?[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"), lit(0)))
+        .as("n_bpe_tokens"))
+
   /** Normalization + content fingerprint (clean_text family,
     * /root/reference/Demo_Prompts/clean_text/system.md: normalize
     * formatting, preserve content — the md5 is the preservation check).

@@ -96,6 +96,23 @@ object Streaming {
   /** Drive a parquet directory through a streaming query into a memory
     * sink and return the materialized result (test/bench harness).
     */
+  /** Streaming exact dedup — the ingestion-time twin of batch
+    * `Dedup.exactDedup`: drop every re-delivery of a key already seen
+    * within the watermark horizon. `dropDuplicatesWithinWatermark`
+    * keeps per-key state only until the watermark passes it, so state
+    * size tracks the horizon's traffic, not the stream's lifetime —
+    * the bounded-state contract a 100 TB ingest needs (an unbounded
+    * `dropDuplicates` would grow state forever). Keys re-delivered
+    * AFTER the horizon re-emit; pick the watermark to cover the
+    * at-least-once redelivery window of the source.
+    */
+  def dedupStream(events: DataFrame, keys: Seq[String],
+                  watermark: String = "1 hour"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys)
+
   def runToMemory(spark: SparkSession, streaming: DataFrame,
                   name: String, mode: OutputMode): DataFrame = {
     val q = streaming.writeStream

@@ -36,6 +36,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected && streamed.nonEmpty)
   }
 
+  test("streaming dedup within watermark collapses redelivered events") {
+    // at-least-once redelivery: the same corpus staged twice
+    val d = java.nio.file.Files.createTempDirectory("graft-dedup")
+    val src = java.nio.file.Path.of(s"${sfDir("0.001")}/events.parquet")
+    java.nio.file.Files.copy(src, d.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, d.resolve("b.parquet"))
+    val stream = spark.readStream.schema(batch.schema).parquet(d.toString)
+    val out = Streaming.runToMemory(spark,
+      Streaming.dedupStream(stream, Seq("event_id"), watermark = "365 days"),
+      "dedup_mem", OutputMode.Append())
+    assert(out.count() == batch.count(),
+      s"each event exactly once: ${out.count()} vs ${batch.count()}")
+    assert(out.select("event_id").distinct().count() == batch.count())
+  }
+
   test("idle-user session state is evicted (bounded state), active sequences survive") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     def ev(id: Long, s: String, user: Long) =
