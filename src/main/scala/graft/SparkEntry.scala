@@ -416,6 +416,59 @@ object SparkEntry {
         .select(col("canonical"), col("kind"),
           col("memberCount").as("member_count"))
     }),
+    // the FUZZY (Jaccard) linking semantics end-to-end with a DuckDB
+    // twin: word + word||'x' variant forms (3-letter words sit exactly
+    // AT the J=0.5 inclusive boundary), linked by the real pipeline
+    // pieces through the exact small-set path, canonicalized by CC.
+    // The twin recomputes shingles, exact Jaccard, and the transitive
+    // closure in SQL.
+    "kg_nodes_fuzzy" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val words = TextOps.distinctWords(t(dir, "documents"))
+        .select(col("word")).distinct()
+        .filter(length(col("word")) >= 3)
+      val base = words.select(lit("tagged").as("pred"), col("word").as("obj"))
+      val variants = words
+        .filter(length(col("word")) % 2 === 0 || length(col("word")) === 3)
+        .select(lit("tagged").as("pred"),
+          concat(col("word"), lit("x")).as("obj"))
+      val ents = graft.link.Linking.entitiesOf(base.unionByName(variants))
+      val links = graft.link.Linking.linkEdges(ents,
+        fuzzyNonEmpty = Some(true), sizeHint = Some(100L))
+      val (assign, _) = graft.Pipeline.assignCanonical(ents, links)
+      graft.Pipeline.nodeTable(assign)
+        .select(col("canonical"), col("kind"),
+          col("memberCount").as("member_count"))
+    }),
+    // same composition FORCED through the banded scale path (sizeHint
+    // above exactSmallThreshold): word-triple forms + truncated
+    // variants sit at J≈0.9, where 20-band/r=4 recall is 1-1e-10 — so
+    // the hash gate deterministically checks banded candidate
+    // generation + exact scoring + CC against the SQL closure twin
+    "kg_nodes_banded" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import org.apache.spark.sql.expressions.Window
+      val words = TextOps.distinctWords(t(dir, "documents"))
+        .select(col("word")).distinct()
+        .filter(length(col("word")) >= 3)
+      val idx = words.withColumn("rn",
+        row_number().over(Window.orderBy(col("word"))))
+      val combos = idx.filter(col("rn") <= 10).as("a")
+        .join(idx.as("b"), col("b.rn") === col("a.rn") + 10)
+        .join(idx.as("c"), col("c.rn") === col("a.rn") + 20)
+        .select(concat_ws(" ", col("a.word"), col("b.word"), col("c.word"))
+          .as("obj"))
+      val base = combos.select(lit("tagged").as("pred"), col("obj"))
+      val variants = combos.select(lit("tagged").as("pred"),
+        expr("substring(obj, 1, length(obj) - 1)").as("obj"))
+      val ents = graft.link.Linking.entitiesOf(base.unionByName(variants))
+      val links = graft.link.Linking.linkEdges(ents,
+        fuzzyNonEmpty = Some(true), sizeHint = Some(30000L))
+      val (assign, _) = graft.Pipeline.assignCanonical(ents, links)
+      graft.Pipeline.nodeTable(assign)
+        .select(col("canonical"), col("kind"),
+          col("memberCount").as("member_count"))
+    }),
     // ---- custom Catalyst expression (codegen'd rolling fingerprint) ----
     "doc_rolling_fp" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -445,6 +498,42 @@ object SparkEntry {
       Similarity.cosineTopK(feats, q, 5)
     })
   )
+
+  /** Shared DuckDB twin of fuzzy linking + canonicalization: the
+    * caller supplies the CTEs that build `forms(obj)` from the
+    * document vocabulary `w(word)`; this wraps them with the Linking
+    * semantics — norm, distinct 3-shingles, exact set Jaccard with the
+    * boundary-INCLUSIVE >= 0.5 rule, transitive closure (recursive
+    * CTE), min-rep components, and the nodeTable projection.
+    */
+  private def kgFuzzyClosureSql(formsCtes: String): String =
+    s"""WITH RECURSIVE w AS (SELECT DISTINCT word FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS word
+       |    FROM documents) WHERE length(word) >= 3),
+       |$formsCtes,
+       |n AS (SELECT obj, regexp_replace(regexp_replace(lower(trim(obj)),
+       |    '\\s+', ' ', 'g'), '\\.+$$', '') AS norm FROM forms),
+       |sh AS (SELECT DISTINCT norm, sh FROM (
+       |  SELECT norm, unnest(list_transform(range(1, length(norm) - 1),
+       |    i -> substring(norm, CAST(i AS INT), 3))) AS sh
+       |  FROM (SELECT DISTINCT norm FROM n))),
+       |sizes AS (SELECT norm, count(*) AS sz FROM sh GROUP BY 1),
+       |cand AS (SELECT a.norm AS na, b.norm AS nb, count(*) AS inter
+       |  FROM sh a JOIN sh b USING (sh) WHERE a.norm < b.norm GROUP BY 1, 2),
+       |pairs AS (SELECT na, nb FROM cand
+       |  JOIN sizes sa ON sa.norm = na JOIN sizes sb ON sb.norm = nb
+       |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+       |e AS (SELECT na AS src, nb AS dst FROM pairs
+       |  UNION ALL SELECT nb, na FROM pairs),
+       |reach(src, dst) AS (SELECT src, dst FROM e
+       |  UNION SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+       |rep AS (SELECT nn.norm, least(nn.norm, coalesce(m.mn, nn.norm)) AS rep
+       |  FROM (SELECT DISTINCT norm FROM n) nn
+       |  LEFT JOIN (SELECT src, min(dst) AS mn FROM reach GROUP BY 1) m
+       |    ON m.src = nn.norm)
+       |SELECT min(obj) AS canonical, 'tagged' AS kind,
+       |  count(*) AS member_count
+       |FROM n JOIN rep USING (norm) GROUP BY rep.rep""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "scan_whitelist" ->
@@ -709,6 +798,24 @@ object SparkEntry {
         |  HAVING src > min(dst))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // fuzzy KG nodes, exact small-set path: shingles + exact Jaccard
+    // (inclusive >= 0.5; the 3-letter-word variants sit exactly at the
+    // boundary) + transitive closure, all recomputed in SQL
+    "kg_nodes_fuzzy" -> kgFuzzyClosureSql(
+      """forms AS (SELECT word AS obj FROM w
+        |  UNION SELECT word || 'x' FROM w
+        |  WHERE length(word) % 2 = 0 OR length(word) = 3)""".stripMargin),
+    // fuzzy KG nodes through the BANDED scale path: word-triple forms
+    // + truncated variants (J≈0.9, banding recall 1-1e-10)
+    "kg_nodes_banded" -> kgFuzzyClosureSql(
+      """ord AS (SELECT word, row_number() OVER (ORDER BY word) AS rn FROM w),
+        |combos AS (SELECT a.word || ' ' || b.word || ' ' || c.word AS obj
+        |  FROM ord a JOIN ord b ON b.rn = a.rn + 10
+        |  JOIN ord c ON c.rn = a.rn + 20
+        |  WHERE a.rn <= 10),
+        |forms AS (SELECT obj FROM combos
+        |  UNION SELECT substring(obj, 1, CAST(length(obj) - 1 AS INT))
+        |  FROM combos)""".stripMargin),
     // exact-norm KG nodes: components of exact-norm linking are the
     // norm-equivalence classes, canonical = binary-min surface form
     "kg_nodes_exact" ->
