@@ -35,8 +35,12 @@ object SkewJoin {
     * broadcast outright — a broadcast hash join is skew-IMMUNE (no
     * shuffle of the left at all), so both the detection pass and the
     * hot/cold split are pure waste when the dimension side is small.
+    * Sized for the NARROW right sides this module contracts for (an
+    * id→id mapping is ~16 bytes/row → ~32 MB at the cap — well inside
+    * executor broadcast budgets); wide dimension tables must not come
+    * through the hint fast path (see [[joinUniqueRight]]).
     */
-  val BroadcastableRightRows = 500000L
+  val BroadcastableRightRows = 2000000L
 
   /** left ⋈ right on `key`; `right` MUST be unique per key AND narrow
     * (a few small columns — an id→id mapping, not a wide dimension
