@@ -27,6 +27,13 @@ object Pipeline {
       extraction: Extraction.Config = Extraction.Config(),
       link: Linking.Config = Linking.Config(),
       hotThreshold: Long = 100000L,
+      // CC edge-count threshold below which the driver union-find fast
+      // path runs instead of the distributed star fixpoint (see
+      // ConnectedComponents.LocalEdgeThreshold). 0 forces the
+      // distributed path — the bench uses that to exercise/measure the
+      // 100 TB-only path on corpora whose edge sets would otherwise
+      // ride the driver.
+      ccLocalThreshold: Long = canon.ConnectedComponents.LocalEdgeThreshold,
       resume: Boolean = true,
       // extraction partition count (= extract-stage task and output-
       // file count). Defaults to the cluster's defaultParallelism;
@@ -56,8 +63,11 @@ object Pipeline {
     * canonicalize to themselves. Returns (assignments, cc iterations).
     */
   def assignCanonical(ents: DataFrame, links: DataFrame,
-                      hotThreshold: Long = 100000L): (DataFrame, Int) = {
-    val cc = ConnectedComponents.run(links, hotThreshold)
+                      hotThreshold: Long = 100000L,
+                      ccLocalThreshold: Long =
+                        ConnectedComponents.LocalEdgeThreshold): (DataFrame, Int) = {
+    val cc = ConnectedComponents.run(links, hotThreshold,
+      localThreshold = ccLocalThreshold)
     val assign = cc.assignments.withColumnRenamed("id", "entityId")
     val out = ents.join(assign, Seq("entityId"), "left")
       .select(col("pred"), col("obj"), col("norm"), col("entityId"),
@@ -144,10 +154,20 @@ object Pipeline {
     val assign = Snapshots.stage(spark, runDir, "assign", runId, resume,
       partitionBy = Seq("ident"),
       metrics = Map("ccIterations" -> ccIters.toString)) {
-      val (a, iters) = assignCanonical(ents, links, cfg.hotThreshold)
+      val (a, iters) = assignCanonical(ents, links, cfg.hotThreshold,
+        cfg.ccLocalThreshold)
       ccIters = iters
       a.withColumn("ident", $"canonicalId" === $"entityId")
     }
+    // cross-version resume guard: the edges stage needs the assign
+    // snapshot's ident column/partitioning (the delta-map rewrite). A
+    // runDir whose assign snapshot predates that schema would otherwise
+    // fail with an opaque unresolved-column error — or worse, silently
+    // sum deltaRows to 0 from manifests lacking ident=false/ paths.
+    require(assign.columns.contains("ident"),
+      s"assign snapshot in $runDir predates the ident-partitioned " +
+        "schema; cross-version resume is unsupported — re-run with " +
+        "resume=false or a fresh runDir")
 
     // Stage 4a — nodes (shared nodeTable logic).
     val nodes = Snapshots.stage(spark, runDir, "nodes", runId, resume,

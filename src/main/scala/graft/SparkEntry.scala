@@ -307,16 +307,21 @@ object SparkEntry {
             .as("embedding"))
       Similarity.nearDupPairs(base.unionByName(pert), 0.98)
     }),
-    // IVF ANN: coarse quantizer trained on a deterministic hash-sample,
-    // inverted-list assignment as a codegen'd literal-centroid map,
-    // probe-pruned exact scoring. Rows-only (k-means centroids have no
-    // SQL twin); exactness at full probe + recall floor are ScalaTest'd
+    // IVF ANN with a DuckDB twin: the REAL index machinery (ivfAssign's
+    // literal-centroid codegen map + ivfTopK's probe-pruned exact scan)
+    // over deterministic one-hot centroids (centroid j = coordinate
+    // basis vector e_j), so assignment degenerates to "argmax of the
+    // first k coordinates" and probe ranking to "top-nProbe coordinates
+    // of q" — pure arithmetic both engines recompute bit-identically.
+    // The TRAINED quantizer path (ivfTrain's bounded-sample Lloyd) is
+    // spec-gated instead: k-means centroids have no SQL twin.
     "ivf_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val embs = t(dir, "embeddings")
       val q = embs.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
-      val cents = Similarity.ivfTrain(embs, k = 16)
+      val cents = Array.tabulate(16)(j =>
+        Array.tabulate(q.length)(i => if (i == j) 1.0 else 0.0))
       Similarity.ivfTopK(Similarity.ivfAssign(embs, cents), cents, q, 10,
         nProbe = 4)
     }),
@@ -433,8 +438,14 @@ object SparkEntry {
         .select(lit("tagged").as("pred"),
           concat(col("word"), lit("x")).as("obj"))
       val ents = graft.link.Linking.entitiesOf(base.unionByName(variants))
+      // sizeHint None → linkEdges counts the fuzzy population exactly
+      // (cheap at gate scale). Round 3 passed Some(100L) — an UNDER-
+      // estimate of the ~18k fuzzy forms, which contradicted the
+      // "upper bound only raises the cap — safe" contract and could
+      // lower the stop-shingle cap below real dfs at larger SFs
+      // (LinkingCcSpec guards the df headroom on the gate corpus).
       val links = graft.link.Linking.linkEdges(ents,
-        fuzzyNonEmpty = Some(true), sizeHint = Some(100L))
+        fuzzyNonEmpty = Some(true), sizeHint = None)
       val (assign, _) = graft.Pipeline.assignCanonical(ents, links)
       graft.Pipeline.nodeTable(assign)
         .select(col("canonical"), col("kind"),
@@ -451,6 +462,11 @@ object SparkEntry {
       val words = TextOps.distinctWords(t(dir, "documents"))
         .select(col("word")).distinct()
         .filter(length(col("word")) >= 3)
+      // DELIBERATE global (un-partitioned) Window.orderBy: a single-
+      // partition sort, acceptable ONLY because this query consumes 30
+      // rows by construction (rn <= 10 × 3 joins). Never copy this
+      // pattern onto an unbounded table — partition the window or use
+      // a keyed rank instead.
       val idx = words.withColumn("rn",
         row_number().over(Window.orderBy(col("word"))))
       val combos = idx.filter(col("rn") <= 10).as("a")
@@ -735,6 +751,25 @@ object SparkEntry {
         |    CAST(embedding AS DOUBLE[]),
         |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)), 6) AS cos
         |FROM embeddings ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // IVF with one-hot centroids: assignment = argmax of the first 16
+    // coordinates (dot with basis vector e_j is exactly v[j]); probe
+    // set = the 4 largest coordinates of the query; exact cosine
+    // inside probed lists — the same plan ivfAssign/ivfTopK execute
+    "ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |asn AS (SELECT vec_id, j AS list_id FROM (
+        |  SELECT e.vec_id, t.i AS j,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY e.v[t.i + 1] DESC, t.i ASC) AS rn
+        |  FROM e, unnest(range(0, 16)) AS t(i)) WHERE rn = 1),
+        |probes AS (SELECT t.i AS j FROM q, unnest(range(0, 16)) AS t(i)
+        |  ORDER BY q.qv[t.i + 1] DESC, t.i ASC LIMIT 4)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v,
+        |  (SELECT qv FROM q)), 6) AS cos
+        |FROM e JOIN asn USING (vec_id)
+        |WHERE asn.list_id IN (SELECT j FROM probes)
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
     "stream_windowed" ->
       """SELECT time_bucket(INTERVAL '6 hours', ts) AS w_start, event_type,
         |  count(*) AS n, round(sum(value), 4) AS sum_value

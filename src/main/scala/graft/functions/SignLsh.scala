@@ -32,10 +32,25 @@ object SignLsh {
   /** `bands` compound keys, each packing `bitsPerBand` sign bits of
     * independent Rademacher projections — one tight pass over the
     * vector: per coordinate, (nBits/64) hashes supply all sign bits.
+    * Null for an empty or all-zero vector (same contract as
+    * [[MinHash.sigs]]): a degenerate embedding carries no direction,
+    * and giving all of them the same all-zero sentinel keys would make
+    * every zero vector collide with every other in EVERY band — a
+    * quadratic candidate blowup in the bucket join.
     */
   def bandKeys(arr: ArrayData, bands: Int, bitsPerBand: Int,
                seed: Long): ArrayData = {
     val v = arr.toDoubleArray()
+    val keys = bandKeysOf(v, bands, bitsPerBand, seed)
+    if (keys == null) null else new GenericArrayData(keys)
+  }
+
+  /** Same kernel over a plain array — for computing a QUERY vector's
+    * band keys on the driver (probe-side of [[graft.ops.Similarity.lshTopK]]).
+    */
+  def bandKeysOf(v: Array[Double], bands: Int, bitsPerBand: Int,
+                 seed: Long): Array[Long] = {
+    if (v.length == 0 || !v.exists(_ != 0.0)) return null
     val nBits = bands * bitsPerBand
     val dots = new Array[Double](nBits)
     val words = (nBits + 63) >>> 6
@@ -70,7 +85,7 @@ object SignLsh {
       keys(b) = k
       b += 1
     }
-    new GenericArrayData(keys)
+    keys
   }
 }
 
@@ -94,14 +109,21 @@ case class SignLshBands(child: Expression, bands: Int, bitsPerBand: Int,
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
   override def prettyName: String = "sign_lsh_bands"
 
   override protected def nullSafeEval(arr: Any): Any =
     SignLsh.bandKeys(arr.asInstanceOf[ArrayData], bands, bitsPerBand, seed)
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, a =>
-      s"graft.functions.SignLsh.bandKeys($a, $bands, $bitsPerBand, ${seed}L)")
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // kernel may return null (empty/all-zero vector) even for a
+    // non-null child, so nullSafeCodeGen with an explicit post-call
+    // null check (MinHashSigs pattern)
+    nullSafeCodeGen(ctx, ev, a => s"""
+      ${ev.value} = graft.functions.SignLsh.bandKeys($a, $bands, $bitsPerBand, ${seed}L);
+      ${ev.isNull} = (${ev.value} == null);
+    """)
+  }
 
   override protected def withNewChildInternal(newChild: Expression): SignLshBands =
     copy(child = newChild)

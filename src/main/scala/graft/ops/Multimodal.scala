@@ -18,7 +18,7 @@ import org.apache.spark.sql.functions._
 object Multimodal {
 
   final case class MediaMeta(
-      format: String, // "png" | "wav" | "mp4" (as labeled, not parsed)
+      format: String, // "png" | "wav" | "mp4"
       width: Int,
       height: Int,
       durationMs: Long,
@@ -62,11 +62,66 @@ object Multimodal {
     bb.array()
   }
 
+  /** A REAL PNG prefix: 8-byte signature + the IHDR chunk (length,
+    * "IHDR", width/height big-endian, bit depth 8, color type 6
+    * RGBA, default compression/filter/interlace, CRC over type+data).
+    * Header-only synthesis, same stance as [[wavHeader]]: exactly the
+    * bytes a header parser reads.
+    */
+  private[ops] def pngHeader(width: Int, height: Int): Array[Byte] = {
+    val ihdr = java.nio.ByteBuffer.allocate(17)
+      .put("IHDR".getBytes("US-ASCII"))
+      .putInt(width).putInt(height)
+      .put(8.toByte).put(6.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+      .array()
+    val crc = new java.util.zip.CRC32
+    crc.update(ihdr)
+    java.nio.ByteBuffer.allocate(8 + 4 + 17 + 4)
+      .put(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+      .putInt(13).put(ihdr).putInt(crc.getValue.toInt)
+      .array()
+  }
+
+  /** A REAL ISO-BMFF (MP4) prefix: ftyp box + a moov box holding an
+    * mvhd (version 0, timescale/duration → playback length) and one
+    * trak/tkhd (16.16 fixed-point presentation width/height) — the
+    * three fields a header parser needs, laid out exactly as the spec
+    * nests them.
+    */
+  private[ops] def mp4Header(width: Int, height: Int, durationMs: Long,
+                             timescale: Int = 1000): Array[Byte] = {
+    def box(tp: String, payload: Array[Byte]): Array[Byte] =
+      java.nio.ByteBuffer.allocate(8 + payload.length)
+        .putInt(8 + payload.length).put(tp.getBytes("US-ASCII"))
+        .put(payload).array()
+    val duration = durationMs * timescale / 1000L
+    val mvhd = java.nio.ByteBuffer.allocate(100)
+      .putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(timescale).putInt(duration.toInt)
+      .putInt(0x00010000) // rate 1.0
+      // volume, reserved, matrix, predefines, next track id: zeros
+      .array()
+    val tkhdBuf = java.nio.ByteBuffer.allocate(84)
+    tkhdBuf.putInt(0) // version 0 + flags
+      .putInt(0).putInt(0) // creation, modification
+      .putInt(1) // track id
+      .putInt(0) // reserved
+      .putInt(duration.toInt)
+    tkhdBuf.position(76)
+    tkhdBuf.putInt(width << 16).putInt(height << 16) // 16.16 fixed point
+    val tkhd = tkhdBuf.array()
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII") ++
+      Array[Byte](0, 0, 2, 0) ++ "isomiso2".getBytes("US-ASCII"))
+    ftyp ++ box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
+  }
+
   /** Deterministic synthetic media corpus: payload bytes are a pure
-    * function of (seed, id); sizes/kinds vary by id. Audio payloads
-    * are genuine WAV containers (valid header, truncated body) whose
-    * declared sample rate / duration equal the labeled metadata, so
-    * the codec's header parse is testable against ground truth.
+    * function of (seed, id); sizes/kinds vary by id. Every payload is
+    * a genuine container prefix (valid WAV / PNG / MP4 header,
+    * truncated body) whose declared metadata equals the labeled
+    * metadata, so the codec's header parse is testable against ground
+    * truth for all three kinds.
     */
   def syntheticMedia(spark: SparkSession, n: Long,
                      seed: Long = 42L): Dataset[MediaFile] = {
@@ -82,12 +137,13 @@ object Multimodal {
       }
       val tail = new Array[Byte](256 + rnd.nextInt(1024))
       rnd.nextBytes(tail)
-      val payload =
-        if (kind == "audio")
-          // 16-bit mono at sr: byteRate = 2*sr; dur ms → dataLen bytes
-          wavHeader(sr, 1, 16, (dur * 2 * sr / 1000).toInt) ++ tail
-        else tail
-      MediaFile(i, kind, MediaMeta(fmt, w, h, dur, sr), payload)
+      val header = kind match {
+        // 16-bit mono at sr: byteRate = 2*sr; dur ms → dataLen bytes
+        case "audio" => wavHeader(sr, 1, 16, (dur * 2 * sr / 1000).toInt)
+        case "image" => pngHeader(w, h)
+        case _       => mp4Header(w, h, dur)
+      }
+      MediaFile(i, kind, MediaMeta(fmt, w, h, dur, sr), header ++ tail)
     }
   }
 
@@ -147,30 +203,37 @@ object Multimodal {
       md.digest()
     }
 
-    /** REAL container parse (not a stub): walks RIFF/WAVE chunks and
-      * returns metadata from the fmt and data declarations — sample
-      * rate from fmt, duration from declared data size / byte rate.
-      * Reads only declared sizes, so a truncated body (or a payload
-      * streamed head-first at 100 TB scale) parses fine. Returns None
-      * for unrecognized containers; callers fall back to labeled
-      * metadata — the production seam for the remaining formats.
+    /** REAL container parse (not a stub), dispatched on the payload's
+      * magic bytes: RIFF/WAVE chunk walk (sample rate from fmt,
+      * duration from declared data size / byte rate), PNG signature +
+      * IHDR (width/height), ISO-BMFF box walk (mvhd timescale/duration,
+      * tkhd 16.16 presentation width/height). All three read only
+      * DECLARED sizes, so a truncated body (or a payload streamed
+      * head-first at 100 TB scale) parses fine; Long offsets + unsigned
+      * sizes keep adversarial declarations from wrapping the cursor
+      * backwards. Returns None for unrecognized containers; callers
+      * fall back to labeled metadata — the production seam for further
+      * formats.
       */
-    def parseMeta(payload: Array[Byte]): Option[MediaMeta] = {
+    def parseMeta(payload: Array[Byte]): Option[MediaMeta] =
+      parseWav(payload).orElse(parsePng(payload)).orElse(parseMp4(payload))
+
+    private def fourCC(payload: Array[Byte], off: Int) =
+      new String(payload, off, 4, "US-ASCII")
+
+    private def parseWav(payload: Array[Byte]): Option[MediaMeta] = {
       if (payload.length < 44) return None
       val bb = java.nio.ByteBuffer.wrap(payload)
         .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-      def fourCC(off: Int) = new String(payload, off, 4, "US-ASCII")
-      if (fourCC(0) != "RIFF" || fourCC(8) != "WAVE") return None
+      if (fourCC(payload, 0) != "RIFF" || fourCC(payload, 8) != "WAVE")
+        return None
       var off = 12L
       var sampleRate = 0
       var byteRate = 0
       var dataLen = -1L
-      // chunk walk over the DECLARED layout (payload may be truncated);
-      // Long offsets + unsigned sizes keep adversarial declarations
-      // from wrapping the cursor backwards
       while (off + 8 <= payload.length && (sampleRate == 0 || dataLen < 0)) {
         val o = off.toInt
-        val id = fourCC(o)
+        val id = fourCC(payload, o)
         val size = bb.getInt(o + 4).toLong & 0xffffffffL
         if (id == "fmt " && off + 24 <= payload.length) {
           sampleRate = bb.getInt(o + 12)
@@ -183,13 +246,68 @@ object Multimodal {
       if (sampleRate <= 0 || byteRate <= 0 || dataLen < 0) None
       else Some(MediaMeta("wav", 0, 0, dataLen * 1000L / byteRate, sampleRate))
     }
+
+    private val PngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def parsePng(payload: Array[Byte]): Option[MediaMeta] = {
+      // signature + IHDR length/type/13-byte body: 8 + 8 + 13 = 29
+      if (payload.length < 29 ||
+          !payload.take(8).sameElements(PngSig)) return None
+      val bb = java.nio.ByteBuffer.wrap(payload) // PNG is big-endian
+      // IHDR MUST be the first chunk (PNG spec); anything else is
+      // malformed and falls back to labeled metadata
+      if (bb.getInt(8) != 13 || fourCC(payload, 12) != "IHDR") return None
+      val w = bb.getInt(16)
+      val h = bb.getInt(20)
+      if (w <= 0 || h <= 0) None else Some(MediaMeta("png", w, h, 0L, 0))
+    }
+
+    private def parseMp4(payload: Array[Byte]): Option[MediaMeta] = {
+      if (payload.length < 12 || fourCC(payload, 4) != "ftyp") return None
+      val bb = java.nio.ByteBuffer.wrap(payload) // BMFF is big-endian
+      // walk sibling boxes in [from, to) looking for `tp`; returns the
+      // payload offset of the first match
+      def findBox(tp: String, from: Long, to: Long): Option[(Long, Long)] = {
+        var off = from
+        while (off + 8 <= to) {
+          val size = bb.getInt(off.toInt).toLong & 0xffffffffL
+          if (size < 8) return None // size64/malformed: stop the walk
+          if (fourCC(payload, off.toInt + 4) == tp)
+            return Some((off + 8, math.min(off + size, to)))
+          off += size
+        }
+        None
+      }
+      val lim = payload.length.toLong
+      for {
+        (moov, moovEnd) <- findBox("moov", 0L, lim)
+        (mvhd, _) <- findBox("mvhd", moov, moovEnd)
+        if mvhd + 20 <= lim && bb.get(mvhd.toInt) == 0 // version 0 only
+        timescale = bb.getInt(mvhd.toInt + 12)
+        duration = bb.getInt(mvhd.toInt + 16).toLong & 0xffffffffL
+        if timescale > 0
+      } yield {
+        // presentation size lives in trak/tkhd (v0: 16.16 fixed point
+        // at payload offsets 76/80); absent or truncated → 0×0, the
+        // honest value for an audio-only or header-clipped mp4
+        val (w, h) = (for {
+          (trak, trakEnd) <- findBox("trak", moov, moovEnd)
+          (tkhd, _) <- findBox("tkhd", trak, trakEnd)
+          if tkhd + 84 <= lim && bb.get(tkhd.toInt) == 0
+        } yield (bb.getInt(tkhd.toInt + 76) >>> 16,
+                 bb.getInt(tkhd.toInt + 80) >>> 16))
+          .getOrElse((0, 0))
+        MediaMeta("mp4", w, h, duration * 1000L / timescale, 0)
+      }
+    }
   }
 
   /** Container-header metadata extraction: one pooled codec per
-    * partition; rows whose payload is a recognized container (WAV/RIFF
-    * today) get their metadata REPLACED by the parsed values, others
-    * keep the labeled metadata. At scale this is the "trust the bytes,
-    * not the catalog" pass — pure map, no shuffle.
+    * partition; rows whose payload is a recognized container (WAV,
+    * PNG, MP4) get their metadata REPLACED by the parsed values,
+    * others keep the labeled metadata. At scale this is the "trust
+    * the bytes, not the catalog" pass — pure map, no shuffle.
     */
   def withParsedMeta(media: Dataset[MediaFile]): Dataset[MediaFile] = {
     val spark = media.sparkSession

@@ -103,12 +103,23 @@ object Relational {
     * columns always come from the SAME right row (per-column last()
     * would tear rows when a right payload column is legitimately
     * null). Skewed keys behave like any other wide window (AQE-sized
-    * partitions); ties between right rows on (key, time) are resolved
-    * arbitrarily — pre-dedupe the right side if that matters.
+    * partitions); ties between right rows on (key, time) resolve
+    * DETERMINISTICALLY to the struct-max payload (lexicographic over
+    * the right's non-key columns in their declared order — max_by
+    * semantics), so the output never depends on partitioning or scan
+    * order. NB: a SQL ASOF JOIN twin resolves such ties by ITS own
+    * arbitrary choice — when hash-comparing against one, assert the
+    * right side has no (key, time) duplicates (fixture-guarded for the
+    * asof_join gate in OpsSpec).
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String,
                prefix: String = "asof_"): DataFrame = {
+    val reserved = Seq("__t", "__p", "__is_left")
+    val clash = (left.columns ++ right.columns).filter(reserved.contains)
+    require(clash.isEmpty,
+      s"asofJoin: input columns ${clash.mkString(", ")} collide with " +
+        "reserved temp names __t/__p/__is_left — rename them first")
     val payload = right.columns.filterNot(keys.contains).toSeq
     val r = right.select(
       keys.map(col) :+ col(rightTime).as("__t") :+
@@ -117,8 +128,12 @@ object Relational {
     val l = left
       .withColumn("__t", col(leftTime))
       .withColumn("__is_left", lit(1))
+    // ordering ends on __p: among right rows tied on (key, __t) the
+    // running last() picks the struct-max payload; left rows are
+    // unaffected (__is_left=1 sorts after all tied right rows, and a
+    // left row's own __p is null which last(ignoreNulls) skips anyway)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__is_left").asc)
+      .orderBy(col("__t").asc, col("__is_left").asc, col("__p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
       .withColumn("__p", last(col("__p"), ignoreNulls = true).over(w))

@@ -1,7 +1,5 @@
 package graft.ops
 
-import org.apache.spark.ml.feature.BucketedRandomProjectionLSH
-import org.apache.spark.ml.linalg.{Vectors, VectorUDT}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -11,10 +9,13 @@ import org.apache.spark.sql.functions._
   * (`zip_with` dot product inside whole-stage codegen) — one scan, one
   * small top-k sort, correct at any scale but O(n) per query.
   *
-  * Scale path: random-projection LSH (MLlib BucketedRandomProjectionLSH
-  * over L2-normalized vectors; Euclidean distance on the unit sphere is
-  * monotone in cosine: d² = 2 − 2·cos). Candidates come from hash
-  * buckets, so a 100 TB corpus probes buckets instead of scanning.
+  * Scale paths (no fitted models anywhere — every key is a
+  * deterministic function of (vector, seed)): hyperplane sign-LSH
+  * banding for both near-dup pair generation and single-query top-k
+  * probing, and an IVF index (driver-trained coarse quantizer on a
+  * bounded sample, literal-centroid codegen assignment, probe-pruned
+  * exact scoring). A 100 TB corpus probes band buckets / inverted
+  * lists instead of scanning.
   */
 object Similarity {
 
@@ -58,39 +59,44 @@ object Similarity {
       .filter(col("cos") >= minCos)
   }
 
-  /** L2-normalized MLlib vectors for the LSH path (accepts float or
-    * double arrays — normalized to double before the UDF boundary).
+  /** Approximate top-k by cosine via sign-LSH band probing — the
+    * single-query twin of [[nearDupPairs]]'s candidate machinery, and
+    * deterministic (no fitted model: band keys are a pure function of
+    * (vector, seed), the same [[graft.functions.SignLshBands]] kernel).
+    *
+    * Probe = rows sharing at least one (band, key) with the QUERY's
+    * band keys, computed driver-side — a pure codegen'd map filter
+    * (literal key comparisons), no join, no shuffle; survivors get
+    * exact cosine + top-k. Sign bits are scale-invariant, so no
+    * normalization pass is needed on either side.
+    *
+    * Band shape differs from near-dup detection deliberately: top-k
+    * neighbors on a realistic corpus sit at moderate angles (cos
+    * 0.4–0.7), where 16 AND-ed bits would collide almost never. Fewer
+    * bits per band + more bands (defaults 8 × 32) put the S-curve at
+    * that range: cos 0.6 probes with p ≈ 0.87 while the orthogonal
+    * background passes ≈ 2^-8 per band (≈ 12% of the corpus over 32
+    * bands) — the probe scans ~1/8th of what brute force scans, and at
+    * a stored table the band keys are the bucketing columns, making
+    * each probe a pruned scan.
     */
-  private def withUnitVectors(embs: DataFrame, id: String,
-                              emb: String): DataFrame = {
-    val spark = embs.sparkSession
-    import spark.implicits._
-    val toVec = udf { (a: Seq[Double]) =>
-      val arr = a.toArray
-      val n = math.sqrt(arr.map(x => x * x).sum)
-      Vectors.dense(if (n == 0) arr else arr.map(_ / n))
-    }
-    embs.select(col(id),
-      toVec(expr(s"transform($emb, x -> cast(x as double))")).as("unit"))
-  }
-
-  /** Approximate top-k by cosine via random-projection LSH buckets. */
   def lshTopK(embs: DataFrame, q: Seq[Double], k: Int,
-              bucketLength: Double = 0.5, numHashTables: Int = 4,
+              bands: Int = 32, bitsPerBand: Int = 8,
               seed: Long = 42L, id: String = "vec_id",
               emb: String = "embedding"): DataFrame = {
-    val unit = withUnitVectors(embs, id, emb)
-    val lsh = new BucketedRandomProjectionLSH()
-      .setInputCol("unit").setOutputCol("hashes")
-      .setBucketLength(bucketLength).setNumHashTables(numHashTables)
-      .setSeed(seed)
-    val model = lsh.fit(unit)
-    val qn = math.sqrt(q.map(x => x * x).sum)
-    val qv = Vectors.dense(q.map(_ / qn).toArray)
-    val nn = model.approxNearestNeighbors(unit, qv, k, "dist")
-    // on unit vectors: cos = 1 - d^2 / 2
-    nn.select(col(id),
-      round(lit(1.0) - col("dist") * col("dist") / 2.0, 6).as("cos"))
+    val qKeys = graft.functions.SignLsh.bandKeysOf(q.toArray, bands,
+      bitsPerBand, seed)
+    require(qKeys != null, "lshTopK: query vector is empty or all-zero")
+    val keyed = embs.select(col(id), col(emb),
+      graft.functions.SignLshBands(
+        expr(s"transform($emb, x -> cast(x as double))"),
+        bands, bitsPerBand, seed).as("__keys"))
+    val hit = (0 until bands).map(b =>
+      col("__keys").getItem(b) === lit(qKeys(b))).reduce(_ || _)
+    keyed.filter(col("__keys").isNotNull && hit)
+      .select(col(id), round(cosineTo(col(emb), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(id).asc)
+      .limit(k)
   }
 
   /** Candidate near-dup pairs from hyperplane sign-LSH banding: ids
@@ -133,21 +139,43 @@ object Similarity {
   private def dotCol(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** The quantizer training sample: the `maxSample` rows with the
+    * SMALLEST xxhash64(id, seed) — a deterministic uniform sample whose
+    * size is bounded BY CONSTRUCTION at any corpus size (the round-3
+    * `sampleMod=1` default collected the whole table to the driver;
+    * this can't). The hash-ordered limit plans as TakeOrderedAndProject
+    * (per-partition top-k, merged on the driver — never a full sort,
+    * never a full collect), and the (hash, id) sort key is a total
+    * order, so the sample is independent of partitioning.
+    */
+  private[graft] def ivfSample(embs: DataFrame, maxSample: Int, seed: Long,
+                               id: String, emb: String): Array[Array[Double]] = {
+    val collected = embs
+      .select(expr(s"transform($emb, x -> cast(x as double))").as("e"),
+        xxhash64(col(id), lit(seed)).as("__h"), col(id).as("__id"))
+      .orderBy(col("__h").asc, col("__id").asc)
+      .limit(maxSample)
+      .select("e")
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(collected.length <= maxSample,
+      s"sample ${collected.length} exceeds bound $maxSample")
+    collected
+  }
+
   /** IVF coarse quantizer, trained driver-side on a DETERMINISTIC
-    * hash-sample (xxhash64 of the id — no orderBy/limit full sort, no
-    * RNG): spherical Lloyd iterations, seeded farthest-point-ish init
-    * from the sample order. Training on a bounded sample is the
-    * standard IVF recipe (the quantizer needs the coarse geometry, not
-    * the corpus); `sampleMod` bounds driver memory at any corpus size.
+    * bounded hash-sample ([[ivfSample]]: the maxSample hash-smallest
+    * rows — no RNG, no unbounded collect): spherical Lloyd iterations,
+    * seeded farthest-point-ish init from the sample order. Training on
+    * a bounded sample is the standard IVF recipe — the quantizer needs
+    * the coarse geometry, not the corpus — and `maxSample` caps driver
+    * memory at any corpus size by construction.
     */
   def ivfTrain(embs: DataFrame, k: Int = 16, iters: Int = 10,
-               sampleMod: Int = 1, seed: Long = 42L,
+               maxSample: Int = 65536, seed: Long = 42L,
                id: String = "vec_id",
                emb: String = "embedding"): Array[Array[Double]] = {
-    val sample = embs
-      .filter(pmod(xxhash64(col(id), lit(seed)), lit(sampleMod)) === 0)
-      .select(expr(s"transform($emb, x -> cast(x as double))").as("e"))
-      .collect().map(_.getSeq[Double](0).toArray)
+    require(maxSample >= k, s"maxSample $maxSample < k=$k")
+    val sample = ivfSample(embs, maxSample, seed, id, emb)
     require(sample.length >= k, s"sample ${sample.length} < k=$k")
     def unit(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)

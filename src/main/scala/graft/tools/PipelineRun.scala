@@ -8,6 +8,11 @@ import org.apache.spark.sql.SparkSession
   *
   * Usage: runMain graft.tools.PipelineRun <nFiles> <runDir> [runId]
   * Env:   SPARK_GRAFT_CPUS (local[N], default 8)
+  *        SPARK_GRAFT_CC_LOCAL_THRESHOLD (edge count below which CC
+  *        rides the driver union-find; 0 forces the DISTRIBUTED
+  *        large/small-star fixpoint — the bench knob for exercising
+  *        the 100 TB-only path at corpus sizes whose edge sets would
+  *        otherwise fit the driver)
   *
   * Prints one summary line per run; re-running with the same runDir
   * resumes from the last published stage.
@@ -45,8 +50,11 @@ object PipelineRun {
     import spark.implicits._
     val files = spark.read.parquet(filesDir).as[graft.SourceFile]
 
+    val ccLocal = sys.env.get("SPARK_GRAFT_CC_LOCAL_THRESHOLD").map(_.toLong)
+      .getOrElse(graft.canon.ConnectedComponents.LocalEdgeThreshold)
     val t0 = System.nanoTime()
-    val res = Pipeline.run(spark, files, runDir, runId)
+    val res = Pipeline.run(spark, files, runDir, runId,
+      Pipeline.Config(ccLocalThreshold = ccLocal))
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[pipeline] runId=${res.runId} files=$n triples=${res.triples} " +
       f"quarantined=${res.quarantined} entities=${res.entities} " +

@@ -95,4 +95,28 @@ class FunctionsSpec extends SparkSpec {
     val agree = got(1).zip(got(2)).count { case (x, y) => x == y }
     assert(agree > 0 && agree < 8, s"agreements=$agree")
   }
+
+  test("sign_lsh_bands: empty/all-zero vectors -> null, never colliding sentinel keys") {
+    import graft.functions.SignLshBands
+    import graft.ops.Similarity
+    val vecs = Seq(
+      (1L, Seq(1.0, -2.0, 3.0)),
+      (2L, Seq(0.0, 0.0, 0.0)), // all-zero: no direction, no keys
+      (3L, Seq.empty[Double]),
+      (4L, Seq(0.0, 0.0, 0.0)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val keys = df.select($"vec_id", SignLshBands($"embedding", 8, 16, 42L).as("k"))
+      .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1)))
+      .toMap
+    assert(keys(1L) != null && keys(1L).size == 8)
+    assert(keys(2L) == null && keys(3L) == null && keys(4L) == null,
+      "degenerate vectors must yield null band keys")
+    // interpreted eval agrees with the codegen path on the null contract
+    assert(graft.functions.SignLsh.bandKeysOf(Array(0.0, 0.0), 8, 16, 42L) == null)
+    // and the candidate generator therefore never pairs zero vectors
+    // with each other (the quadratic blowup the null contract prevents)
+    val cand = Similarity.signLshCandidates(df)
+      .as[(Long, Long)].collect().toSet
+    assert(!cand.contains((2L, 4L)), s"zero vectors collided: $cand")
+  }
 }

@@ -75,6 +75,39 @@ class LinkingCcSpec extends SparkSpec {
     assert(e4 > e1 * 25 / 10, s"4x corpus must give >2.5x entities: $e1 -> $e4")
   }
 
+  test("kg_nodes_fuzzy gate corpus: char-shingle dfs stay far below the stop cap") {
+    // the kg_nodes_fuzzy/banded DuckDB twins compute candidates over
+    // ALL shingles while the Spark operator blocks on stop-filtered
+    // sets (df > cap dropped) — the hash gate is sound only while no
+    // char-shingle df approaches the cap on the gate corpus. Guard the
+    // headroom explicitly so a fixture/SF change that closes it fails
+    // HERE, not as a flaky correctness hash. (Round-3 ADVICE #1; the
+    // round-4 fix also made the query pass sizeHint=None so the cap
+    // uses the true fuzzy population, never an underestimate.)
+    import org.apache.spark.sql.functions._
+    val words = graft.ops.TextOps.distinctWords(
+        spark.read.parquet(s"${sfDir("0.01")}/documents.parquet"))
+      .select($"word").distinct()
+      .filter(length($"word") >= 3)
+    val base = words.select($"word".as("obj"))
+    val variants = words
+      .filter(length($"word") % 2 === 0 || length($"word") === 3)
+      .select(concat($"word", lit("x")).as("obj"))
+    val forms = base.unionByName(variants).distinct()
+      .select(Linking.normCol($"obj").as("norm")).distinct()
+    val n = forms.count()
+    val cap = Linking.Config().stopShingleCap(n)
+    val maxDf = forms
+      .select(explode(expr(
+        "array_distinct(transform(sequence(1, greatest(length(norm) - 2, 1)), i -> substring(norm, i, 3)))"))
+        .as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(max($"df")).head().getLong(0)
+    assert(maxDf * 2 <= cap,
+      s"max char-shingle df $maxDf within 2x of stop cap $cap on $n forms — " +
+        "the fuzzy-gate twins would diverge from the blocked operator")
+  }
+
   test("connected components match brute-force union-find on random graphs") {
     for (seed <- Seq(1, 7, 99)) {
       val rnd = new scala.util.Random(seed)

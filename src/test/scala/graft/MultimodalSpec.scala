@@ -48,24 +48,29 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.keySet == videos.map(_.mediaId).toSet)
   }
 
-  test("WAV header parse recovers the synthesized sample rate and duration") {
+  test("container header parse recovers ground truth for WAV, PNG and MP4") {
     val parsed = Multimodal.withParsedMeta(media).collect()
       .map(m => m.mediaId -> m).toMap
     val originals = media.collect()
-    assert(originals.exists(_.kind == "audio"))
+    assert(Seq("audio", "image", "video")
+      .forall(k => originals.exists(_.kind == k)))
     originals.foreach { o =>
+      // every payload is a REAL container prefix (RIFF/WAVE chunk
+      // list, PNG signature+IHDR, BMFF ftyp/moov/mvhd/tkhd): the
+      // parsed header must reproduce the labeled metadata exactly
       val p = parsed(o.mediaId)
-      if (o.kind == "audio")
-        // the payload is a REAL RIFF/WAVE container: the parsed header
-        // must reproduce the labeled metadata exactly (format, sample
-        // rate, duration from declared data size / byte rate)
-        assert(p.meta == o.meta,
-          s"media ${o.mediaId}: parsed ${p.meta} != labeled ${o.meta}")
-      else // unrecognized container → labeled metadata fallback
-        assert(p.meta == o.meta && p.kind == o.kind)
+      assert(p.meta == o.meta,
+        s"media ${o.mediaId} (${o.kind}): parsed ${p.meta} != labeled ${o.meta}")
     }
-    // and the parse is load-bearing: corrupting the declared data size
-    // must change the parsed duration
+    // unrecognized container → labeled metadata fallback (the seam for
+    // formats the codec doesn't parse yet)
+    val junk = originals.head.copy(mediaId = 9999L,
+      payload = Array.fill[Byte](64)(0x55))
+    assert(Multimodal.withParsedMeta(
+      spark.createDataset(Seq(junk))).head().meta == junk.meta)
+
+    // and each parse is load-bearing: corrupting a declared field must
+    // change the parsed value correspondingly
     val a = originals.find(_.kind == "audio").get
     val corrupted = a.payload.clone()
     val bb = java.nio.ByteBuffer.wrap(corrupted)
@@ -75,6 +80,23 @@ class MultimodalSpec extends SparkSpec {
       spark.createDataset(Seq(a.copy(payload = corrupted)))).head()
     assert(reparsed.meta.durationMs == a.meta.durationMs / 2,
       s"halved data size must halve duration: $reparsed vs $a")
+
+    val img = originals.find(_.kind == "image").get
+    val imgC = img.payload.clone()
+    java.nio.ByteBuffer.wrap(imgC).putInt(16, 7777) // IHDR width (BE)
+    val imgP = Multimodal.withParsedMeta(
+      spark.createDataset(Seq(img.copy(payload = imgC)))).head()
+    assert(imgP.meta.width == 7777 && imgP.meta.height == img.meta.height)
+
+    val vid = originals.find(_.kind == "video").get
+    val vidC = vid.payload.clone()
+    // mvhd duration field: ftyp(24) + moov hdr(8) + mvhd hdr(8) + 16
+    java.nio.ByteBuffer.wrap(vidC).putInt(24 + 8 + 8 + 16,
+      (vid.meta.durationMs * 3).toInt) // timescale 1000 → 3× duration
+    val vidP = Multimodal.withParsedMeta(
+      spark.createDataset(Seq(vid.copy(payload = vidC)))).head()
+    assert(vidP.meta.durationMs == vid.meta.durationMs * 3,
+      s"tripled mvhd duration must triple parsed ms: $vidP vs $vid")
   }
 
   test("media features feed similarity search end-to-end") {

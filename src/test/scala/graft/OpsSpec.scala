@@ -117,7 +117,7 @@ class OpsSpec extends SparkSpec {
     }
   }
 
-  test("lshTopK finds most of the true cosine top-k") {
+  test("lshTopK (sign-LSH band probe): recall floor, determinism, selective probe") {
     val q = embs.filter($"vec_id" === 0)
       .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
     val exact = Similarity.cosineTopK(embs, q, 10)
@@ -126,6 +126,28 @@ class OpsSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.5, s"lsh recall $recall too low: exact=$exact approx=$approx")
+    // the query is a corpus vector: identical band keys, so it always
+    // probes itself (cos 1.0 at rank 1)
+    assert(approx.contains(0L))
+    // deterministic (band keys are a pure function of (vector, seed) —
+    // no fitted model, unlike the MLlib BRP-LSH this replaced) and
+    // partition-invariant
+    val again = Similarity.lshTopK(embs.repartition(7), q, 10)
+      .select("vec_id").as[Long].collect().toSet
+    assert(again == approx)
+    // and the probe is genuinely selective: candidates (rows sharing a
+    // band key with the query) are a strict minority of the corpus —
+    // the fraction a stored table would scan after bucket pruning
+    val keyed = embs.select($"vec_id",
+      graft.functions.SignLshBands(
+        expr("transform(embedding, x -> cast(x as double))"), 32, 8, 42L)
+        .as("keys"))
+    val qKeys = graft.functions.SignLsh.bandKeysOf(q.toArray, 32, 8, 42L)
+    val hit = (0 until 32).map(b => $"keys".getItem(b) === qKeys(b))
+      .reduce(_ || _)
+    val probed = keyed.filter($"keys".isNotNull && hit).count()
+    assert(probed < embs.count() / 2,
+      s"probe scanned $probed of ${embs.count()} rows — not selective")
   }
 
   test("nearDupPairs (LSH + exact re-score) equals brute force on the planted near-dup corpus") {
@@ -248,6 +270,58 @@ class OpsSpec extends SparkSpec {
     val recall = brute.map(_._1).count(probe4.contains) / 10.0
     assert(recall >= 0.3, s"recall@10 with nProbe=4 was $recall")
     assigned.unpersist()
+  }
+
+  test("ivfSample is bounded by construction at any input size") {
+    // the round-3 default (sampleMod=1) collected the ENTIRE table to
+    // the driver; the hash-ordered-limit sample cannot: its size is
+    // min(n, maxSample) whatever the corpus size, and it is
+    // deterministic under repartitioning (total (hash, id) order)
+    val s50 = Similarity.ivfSample(embs, 50, 42L, "vec_id", "embedding")
+    assert(s50.length == 50)
+    val s50b = Similarity.ivfSample(embs.repartition(13), 50, 42L,
+      "vec_id", "embedding")
+    assert(s50.map(_.toSeq).toSeq == s50b.map(_.toSeq).toSeq,
+      "sample must be partition-invariant")
+    val all = Similarity.ivfSample(embs, 1000000, 42L, "vec_id", "embedding")
+    assert(all.length == embs.count(), "maxSample above n keeps every row")
+    // and ivfTrain refuses a bound below k
+    intercept[IllegalArgumentException] {
+      Similarity.ivfTrain(embs, k = 16, maxSample = 8)
+    }
+  }
+
+  test("asofJoin: right-side (key, time) ties resolve deterministically to the struct-max payload") {
+    import graft.ops.Relational
+    val left = Seq((1L, 10L, "l1")).toDF("k", "t", "lid")
+    // three right rows tied at (k=1, t=5): the match must be the
+    // struct-max payload (rid "r3") regardless of input order/partitioning
+    val rightRows = Seq((1L, 5L, "r1", 1.0), (1L, 5L, "r3", 3.0),
+      (1L, 5L, "r2", 2.0))
+    for (perm <- rightRows.permutations.take(3); parts <- Seq(1, 3)) {
+      val right = perm.toDF("k", "t", "rid", "amt").repartition(parts)
+      val got = Relational.asofJoin(left, right, Seq("k"), "t", "t")
+        .select($"asof_rid", $"asof_amt").as[(String, Double)].head()
+      assert(got == (("r3", 3.0)), s"perm=$perm parts=$parts got=$got")
+    }
+    // reserved temp names are rejected, not silently clobbered
+    intercept[IllegalArgumentException] {
+      Relational.asofJoin(left.withColumnRenamed("lid", "__t"),
+        rightRows.toDF("k", "t", "rid", "amt"), Seq("k"), "t", "t")
+    }
+  }
+
+  test("asof_join gate fixture carries no (user_id, ts) purchase duplicates") {
+    // the asof_join DuckDB twin (ASOF JOIN) resolves right-side ties by
+    // ITS own arbitrary choice; the hash gate is tie-free only while
+    // the events fixture has no same-user same-ts purchase pairs —
+    // guard that here so a testdata change fails loudly, not flakily
+    for (sf <- Seq("0.001", "0.01")) {
+      val dups = spark.read.parquet(s"${sfDir(sf)}/events.parquet")
+        .filter($"event_type" === "purchase")
+        .groupBy("user_id", "ts").count().filter($"count" > 1).count()
+      assert(dups == 0, s"sf$sf has $dups tied purchase (user_id, ts) pairs")
+    }
   }
 
   test("asofJoin matches brute force; inclusive boundary; no row tearing") {
