@@ -120,9 +120,12 @@ object Dedup {
       .withColumn("h", md5NumberLower(col("__md5")))
       .drop("__md5")
     val wordsDf = wordCnt.join(vocab, Seq("word"))
+    // branch-free ±cnt (bit*2-1 ∈ {-1, +1}): the 64 aggregates compile
+    // to straight-line arithmetic — a CASE WHEN per bit doubled the
+    // janino compile time of this (the widest codegen'd aggregate in
+    // the engine, paid once per JVM)
     val bitSums = (0 until 64).map { i =>
-      sum(when(expr(s"(h >> $i) & 1") === 1, col("cnt"))
-        .otherwise(-col("cnt"))).as(s"b$i")
+      sum(expr(s"(((h >> $i) & 1) * 2 - 1) * cnt")).as(s"b$i")
     }
     val agg = wordsDf.groupBy(col(id)).agg(bitSums.head, bitSums.tail: _*)
     val simhashCol = (0 until 64).map { i =>
