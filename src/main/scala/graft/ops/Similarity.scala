@@ -227,6 +227,25 @@ object Similarity {
       (array_position(negDots, array_min(negDots)) - 1).cast("int"))
   }
 
+  /** The probe set: indexes of the `nProbe` centroids nearest the
+    * query (driver-side — k dot products), deterministic tie-break by
+    * index.
+    */
+  private def probeLists(centroids: Array[Array[Double]], q: Seq[Double],
+                         nProbe: Int): Array[Int] = {
+    val qn = math.sqrt(q.map(x => x * x).sum)
+    val qu = q.map(_ / qn).toArray
+    centroids.zipWithIndex
+      .map { case (c, i) => (c.zip(qu).map { case (a, b) => a * b }.sum, i) }
+      .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
+  }
+
+  private def probeTopK(probed: DataFrame, q: Seq[Double], k: Int,
+                        id: String, emb: String): DataFrame =
+    probed.select(col(id), round(cosineTo(col(emb), q), 6).as("cos"))
+      .orderBy(col("cos").desc, col(id).asc)
+      .limit(k)
+
   /** ANN top-k through the IVF index: rank centroids against the query
     * on the driver (k dot products), probe the `nProbe` nearest lists
     * only, exact cosine inside the probed lists. Recall/latency dials:
@@ -237,15 +256,37 @@ object Similarity {
               q: Seq[Double], k: Int, nProbe: Int = 4,
               id: String = "vec_id",
               emb: String = "embedding"): DataFrame = {
-    val qn = math.sqrt(q.map(x => x * x).sum)
-    val qu = q.map(_ / qn).toArray
-    val probes = centroids.zipWithIndex
-      .map { case (c, i) => (c.zip(qu).map { case (a, b) => a * b }.sum, i) }
-      .sortBy { case (d, i) => (-d, i) }.take(nProbe).map(_._2)
-    assigned.filter(col("list_id").isin(probes.map(Integer.valueOf): _*))
-      .select(col(id), round(cosineTo(col(emb), q), 6).as("cos"))
-      .orderBy(col("cos").desc, col(id).asc)
-      .limit(k)
+    val probes = probeLists(centroids, q, nProbe)
+    probeTopK(
+      assigned.filter(col("list_id").isin(probes.map(Integer.valueOf): _*)),
+      q, k, id, emb)
+  }
+
+  /** STORAGE layout of the IVF index: inverted lists persisted
+    * PARTITIONED BY list_id, so at 100 TB a probe is a
+    * partition-pruned scan of nProbe directories (~nProbe/k of the
+    * corpus touches storage) instead of an in-memory filter over
+    * everything. This is the serving shape — build once with
+    * ivfAssign, query forever with [[ivfTopKStored]].
+    */
+  def ivfWriteIndex(assigned: DataFrame, dir: String): Unit =
+    assigned.write.mode("overwrite").partitionBy("list_id").parquet(dir)
+
+  /** [[ivfTopK]] against a stored index: the list_id IN (...) filter
+    * lands in the scan's PartitionFilters (plan-asserted in OpsSpec),
+    * so only the probed list directories are read — same results as
+    * the in-memory path.
+    */
+  def ivfTopKStored(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    centroids: Array[Array[Double]], q: Seq[Double],
+                    k: Int, nProbe: Int = 4,
+                    id: String = "vec_id",
+                    emb: String = "embedding"): DataFrame = {
+    val probes = probeLists(centroids, q, nProbe)
+    probeTopK(
+      spark.read.parquet(dir)
+        .filter(col("list_id").isin(probes.map(Integer.valueOf): _*)),
+      q, k, id, emb)
   }
 
   /** Near-duplicate pairs at scale: sign-LSH banding for candidate

@@ -272,6 +272,27 @@ class OpsSpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("IVF stored index: partition-pruned probes, same results as in-memory") {
+    val cents = Array.tabulate(16)(j =>
+      Array.tabulate(64)(i => if (i == j) 1.0 else 0.0))
+    val assigned = Similarity.ivfAssign(embs, cents)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString
+    Similarity.ivfWriteIndex(assigned, dir)
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val stored = Similarity.ivfTopKStored(spark, dir, cents, q, 10, nProbe = 4)
+    // the probe filter must reach the scan as a PARTITION filter (the
+    // 100 TB point of the layout: nProbe directories read, not n rows)
+    val plan = stored.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+        "PartitionFilters: \\[list_id#\\d+ IN ".r.findFirstIn(plan).isDefined,
+      s"probe filter did not prune partitions:\n$plan")
+    val mem = Similarity.ivfTopK(assigned, cents, q, 10, nProbe = 4)
+      .as[(Long, Double)].collect().toSeq
+    assert(stored.as[(Long, Double)].collect().toSeq == mem,
+      "stored-index probe must equal the in-memory path")
+  }
+
   test("ivfSample is bounded by construction at any input size") {
     // the round-3 default (sampleMod=1) collected the ENTIRE table to
     // the driver; the hash-ordered-limit sample cannot: its size is
