@@ -73,6 +73,32 @@ class PlanSpec extends SparkSpec {
     assert(plan(df).contains("PartitionFilters"), plan(df))
   }
 
+  test("simhash hashes the vocabulary once and broadcasts it back") {
+    // the round-4 fix for the dedup_simhash regression: the md5 chain
+    // must sit on the DISTINCT-vocabulary side of a broadcast join,
+    // never in the per-occurrence scan path. Execute first — AQE picks
+    // the broadcast at runtime from the vocab's actual size.
+    val df = graft.ops.Dedup.simhash(
+      spark.read.parquet(s"$dir/documents.parquet"))
+    df.count()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab join must broadcast (AQE, small vocab):\n$p")
+  }
+
+  test("lshTopK probe plans as a shuffle-free pruned scan") {
+    // band-key probe = literal comparisons in a map filter feeding
+    // TakeOrderedAndProject: no join, no Exchange anywhere — the plan
+    // shape that turns into a bucket-pruned scan on a stored table
+    val embs = spark.read.parquet(s"$dir/embeddings.parquet")
+    val q = embs.filter($"vec_id" === 0)
+      .select($"embedding").head().getSeq[Float](0).map(_.toDouble)
+    val p = plan(graft.ops.Similarity.lshTopK(embs, q, 10))
+    assert(!p.toLowerCase.contains("join"), p)
+    assert(!p.contains("Exchange"), s"probe must not shuffle:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("asofJoin plans one shuffle and no join operator") {
     // the whole point of the union+window design: a per-key inequality
     // join would appear as BroadcastNestedLoopJoin (or a range-join
