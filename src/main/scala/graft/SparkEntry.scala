@@ -505,9 +505,19 @@ object SparkEntry {
         .select(col("kind"), col("n"), col("avg_duration_ms"),
           col("max_width").cast("long").as("max_width"))
     }),
+    // the decode→embed→search composition WITH an oracle: features come
+    // from the stub codec's SHA-256 derivation over the documents-
+    // derived media payloads (UTF-8 text bytes) — DuckDB recomputes the
+    // digest with its own sha256(), reassembles the same 16 big-endian
+    // byte pairs, and replays the cosine top-k. (Each feature value
+    // n/2^15 − 1 is exactly representable in BOTH float32 and float64,
+    // so the engines agree bit-for-bit despite Spark computing the
+    // feature in Float.) The random-payload corpus variant stays
+    // spec-gated in MultimodalSpec.
     "media_sim_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
-      val feats = Multimodal.extractFeatures(Multimodal.syntheticMedia(s, 1000L))
+      val feats = Multimodal.extractFeatures(
+          Multimodal.mediaFromDocuments(t(dir, "documents")))
         .select(col("mediaId").as("vec_id"), col("feature").as("embedding"))
       val q = feats.filter(col("vec_id") === 0)
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
@@ -888,6 +898,21 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
+    // the stub codec's decode: 16 features from sha256(payload) — byte
+    // pair 2k,2k+1 (hex chars 4k+1..4k+4, big-endian) → n/2^15 − 1
+    "media_sim_topk" ->
+      """WITH s AS (SELECT doc_id, sha256(text) AS h FROM documents),
+        |f AS (SELECT doc_id AS vec_id,
+        |  list_transform(range(0, 16), k ->
+        |      CAST((strpos('0123456789abcdef', substr(h, CAST(4*k + 1 AS INT), 1)) - 1) * 4096
+        |         + (strpos('0123456789abcdef', substr(h, CAST(4*k + 2 AS INT), 1)) - 1) * 256
+        |         + (strpos('0123456789abcdef', substr(h, CAST(4*k + 3 AS INT), 1)) - 1) * 16
+        |         + (strpos('0123456789abcdef', substr(h, CAST(4*k + 4 AS INT), 1)) - 1)
+        |        AS DOUBLE) / 32768.0 - 1.0) AS v
+        |  FROM s)
+        |SELECT vec_id, round(list_cosine_similarity(v,
+        |  (SELECT v FROM f WHERE vec_id = 0)), 6) AS cos
+        |FROM f ORDER BY cos DESC, vec_id ASC LIMIT 5""".stripMargin,
     "media_profile" ->
       """WITH m AS (SELECT
         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
