@@ -51,24 +51,28 @@ object SparkEntry {
       graft.extract.Extraction.extract(files)).toDF()
   }
 
-  /** Stage the single events parquet into a temp dir (FileStreamSource
+  /** Stage a single table parquet into a temp dir (FileStreamSource
     * needs a directory), run `f`, then delete the staging dir — the
     * memory sink holds the materialized rows, and repeated driver
     * invocations must not leak disk in a long-lived session.
     */
-  private def withStagedEvents[T](dir: String, copies: Int = 1)(f: String => T): T = {
+  private def withStagedTable[T](dir: String, table: String,
+                                 copies: Int = 1)(f: String => T): T = {
     val staged = java.nio.file.Files.createTempDirectory("graft-stream")
     try {
       (1 to copies).foreach(i => java.nio.file.Files.copy(
-        java.nio.file.Path.of(s"$dir/events.parquet"),
-        staged.resolve(s"events$i.parquet")))
+        java.nio.file.Path.of(s"$dir/$table.parquet"),
+        staged.resolve(s"$table$i.parquet")))
       f(staged.toString)
     } finally {
       (1 to copies).foreach(i =>
-        java.nio.file.Files.deleteIfExists(staged.resolve(s"events$i.parquet")))
+        java.nio.file.Files.deleteIfExists(staged.resolve(s"$table$i.parquet")))
       java.nio.file.Files.deleteIfExists(staged)
     }
   }
+
+  private def withStagedEvents[T](dir: String, copies: Int = 1)(f: String => T): T =
+    withStagedTable(dir, "events", copies)(f)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / scans (SURVEY §2.1) ----
@@ -366,6 +370,28 @@ object SparkEntry {
             col("user_id"))
       }
     }),
+    // streaming INGEST → EXTRACTION: the pipeline's stage-1 mention
+    // detection as a continuous job — documents arrive as files, the
+    // stateless extraction map (explode + vocabulary filter) emits
+    // triples in Append mode with no state at all, and the result must
+    // equal the batch kg_mentions run (same oracle). This is the shape
+    // a 100 TB ingest runs 24/7: each micro-batch is embarrassingly
+    // parallel, nothing accumulates on the driver.
+    "stream_kg_mentions" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val batch = t(dir, "documents")
+      s.catalog.dropTempView("stream_kgm_mem")
+      withStagedTable(dir, "documents") { staged =>
+        val src = s.readStream.schema(batch.schema).parquet(staged)
+        graft.streaming.Streaming.runToMemory(s,
+          TextOps.distinctWords(src)
+            .filter(col("word").isin(mentionVocab: _*))
+            .select(col("doc_id"), lit("mentions").as("pred"),
+              col("word").as("obj")),
+          "stream_kgm_mem",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+    }),
     "stream_sessionize" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       import s.implicits._
@@ -641,6 +667,14 @@ object SparkEntry {
         |  ('\bvector\b', 'vector_mention')) AS rules(pattern, issue)
         |WHERE regexp_matches(text, pattern)""".stripMargin,
     "kg_mentions" ->
+      """SELECT doc_id, 'mentions' AS pred, word AS obj FROM (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
+        |  FROM documents)
+        |WHERE word IN ('spark','hash','vector','stream','customer')""".stripMargin,
+    // the streaming run of the same stateless extraction must emit
+    // exactly the batch mention set
+    "stream_kg_mentions" ->
       """SELECT doc_id, 'mentions' AS pred, word AS obj FROM (
         |  SELECT doc_id,
         |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS word
