@@ -70,6 +70,20 @@ object Bench {
       .write.mode("overwrite").parquet(filesDir)
     val files = spark.read.parquet(filesDir).as[SourceFile]
 
+    // untimed warmup on a toy corpus: compiles every codegen path the
+    // pipeline touches (extraction scanners, minhash_sigs, star joins,
+    // parquet writers) so BOTH timed reps measure steady-state work
+    // rather than rep 1 absorbing ~10s of janino compilation
+    locally {
+      val warmDir = s"$baseDir/warmup"
+      spark.sparkContext.setCheckpointDir(s"$warmDir/_checkpoints")
+      Pipeline.run(spark, fixtures.FilesGen.dataset(spark, 2000L, richness = richness),
+        warmDir, "warmup", Pipeline.Config(resume = false,
+          arrangePartitions = Some(4)))
+      spark.catalog.clearCache()
+      System.gc()
+    }
+
     val reps = (1 to pipeReps).map { rep =>
       val runDir = s"$baseDir/run$rep"
       spark.sparkContext.setCheckpointDir(s"$runDir/_checkpoints")
