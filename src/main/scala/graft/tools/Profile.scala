@@ -33,6 +33,12 @@ object Profile {
     println(s"[profile] entities=$n fuzzy=$nf cap=${cfg.stopShingleCap(n)}")
 
     // candidate volume + per-phase wall through the debug surface
+    val shingled = Linking.withShingles(fuzzy, cfg.shingleSize)
+    val candN = time("candidates only (groupBy expand)")(
+      Linking.lshCandidates(shingled, cfg, n).count())
+    println(s"[profile] banded candidates=$candN")
+    time("candidates again (warm)")(
+      Linking.lshCandidates(shingled, cfg, n).count())
     val withDist = time("lshEdgesWithDist full")(
       Linking.lshEdges2Debug(fuzzy, cfg).count())
     println(s"[profile] scored fuzzy pairs=$withDist")

@@ -75,6 +75,44 @@ class LinkingCcSpec extends SparkSpec {
     assert(e4 > e1 * 25 / 10, s"4x corpus must give >2.5x entities: $e1 -> $e4")
   }
 
+  test("pathological band buckets expand as a star: bounded candidates, same components") {
+    import org.apache.spark.sql.functions._
+    // 34 cyclic rotations of one 34-char cycle: every rotation (padded
+    // past one full period) has the SAME set of 34 char-3-shingles but
+    // a DISTINCT norm — so the exact-norm path links nothing, while
+    // every band sees ONE bucket of 34 identical-signature forms. With
+    // maxBandBucket below that, candidates must collapse from
+    // C(34,2)·b clique duplicates to the star (33 per band), and —
+    // because a same-signature bucket here is a true J=1 clique — the
+    // scored fuzzy edges alone must still produce ONE component.
+    val cycle = "abcdefghijklmnopqrstuvwxyz01234567"
+    val tripled = cycle + cycle + cycle
+    val variants = (0 until cycle.length).map(k =>
+      tripled.substring(k, k + cycle.length + 4))
+    assert(variants.distinct.size == cycle.length)
+    val ents = Linking.entitiesOf(
+      variants.toDF("obj").withColumn("pred", lit("tagged")))
+    val cfgCap = Linking.Config(maxBandBucket = 10)
+    val shingled = Linking.withShingles(ents, cfgCap.shingleSize)
+    val capped = Linking.lshCandidates(shingled, cfgCap, variants.size.toLong)
+      .collect()
+    val full = Linking.lshCandidates(shingled,
+      Linking.Config(), variants.size.toLong).collect()
+    assert(capped.length < full.length / 5,
+      s"star expansion must collapse the bucket: capped=${capped.length} full=${full.length}")
+    // star candidates per band = s-1; 20 bands of the same bucket
+    assert(capped.length == 20 * (variants.size - 1), s"got ${capped.length}")
+    // connectivity preserved end-to-end through the FUZZY path alone
+    // (distinct norms → zero exact-norm edges; sizeHint forces banded)
+    def comps(cfg: Linking.Config): Long = {
+      val links = Linking.linkEdges(ents, cfg, Some(true),
+        sizeHint = Some(100000L))
+      val (assign, _) = graft.Pipeline.assignCanonical(ents, links)
+      assign.select("canonicalId").distinct().count()
+    }
+    assert(comps(cfgCap) == 1L && comps(Linking.Config()) == 1L)
+  }
+
   test("kg_nodes_fuzzy gate corpus: char-shingle dfs stay far below the stop cap") {
     // the kg_nodes_fuzzy/banded DuckDB twins compute candidates over
     // ALL shingles while the Spark operator blocks on stop-filtered
