@@ -111,6 +111,20 @@ class LinkingCcSpec extends SparkSpec {
       assign.select("canonicalId").distinct().count()
     }
     assert(comps(cfgCap) == 1L && comps(Linking.Config()) == 1L)
+
+    // and on the real fixture: capped candidates are a SUBSET of the
+    // uncapped set (the guard can only drop clique-interior pairs),
+    // and a cap no bucket reaches changes nothing
+    val fixtureFuzzy = LinkingCcSpec.this.ents.filter(
+      org.apache.spark.sql.functions.col("pred").isin(Linking.FuzzyPreds: _*))
+    val sh2 = Linking.withShingles(fixtureFuzzy, cfgCap.shingleSize)
+    val nf = fixtureFuzzy.count()
+    def candSet(cap: Int) =
+      Linking.lshCandidates(sh2, Linking.Config(maxBandBucket = cap), nf)
+        .select("src", "dst").as[(Long, Long)].collect().toSet
+    val uncapped = candSet(Int.MaxValue)
+    assert(candSet(10000) == uncapped, "default cap must not bind on the fixture")
+    assert(candSet(2).subsetOf(uncapped), "capped must be a subset")
   }
 
   test("kg_nodes_fuzzy gate corpus: char-shingle dfs stay far below the stop cap") {
