@@ -174,10 +174,12 @@ class LinkingCcSpec extends SparkSpec {
         val (ra, rb) = (find(a.toInt), find(b.toInt))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
+      // the contract is the non-identity DELTA: roots are absent and
+      // resolve by coalesce downstream
       val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
         .map(v => v -> {
           var r = v.toInt; while (parent(r) != r) r = parent(r); r.toLong
-        }).toMap
+        }).filter { case (v, r) => v != r }.toMap
       // both paths must agree with brute force: the distributed
       // star-join fixpoint (localThreshold=0) and the driver-side
       // union-find fast path (default threshold)
@@ -199,7 +201,8 @@ class LinkingCcSpec extends SparkSpec {
       val one = ConnectedComponents.run(Seq((5L, 2L)).toDF("src", "dst"),
           localThreshold = thr)
         .assignments.as[(Long, Long)].collect().toMap
-      assert(one == Map(5L -> 2L, 2L -> 2L))
+      // delta contract: the root 2 is absent (identity by coalesce)
+      assert(one == Map(5L -> 2L))
     }
   }
 }

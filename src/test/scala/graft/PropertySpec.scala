@@ -36,12 +36,11 @@ object GraftProps extends Properties("graft") {
 
   property("canonicalization is idempotent on non-singleton components") =
     Prop.forAllNoShrink(smallGraph) { edges =>
+      // cc returns the non-identity delta (member -> component min),
+      // which IS a star edge list — re-running cc on it must be a
+      // fixpoint (identical delta)
       val assigns = cc(edges)
-      val starEdges = assigns.toSeq.filter { case (id, c) => id != c }
-      val nonSingleton = assigns.filter { case (_, c) =>
-        assigns.count(_._2 == c) >= 2
-      }
-      cc(starEdges) == nonSingleton
+      cc(assigns.toSeq) == assigns
     }
 
   property("repairTruncate never grows and preserves clean endings") =
