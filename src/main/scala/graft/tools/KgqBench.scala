@@ -83,11 +83,7 @@ object KgqBench {
           sizeHint = Some(Snapshots.readManifest(runDir, "entities").rows))
       })
       val assign = Profile.time("assign")(Snapshots.stage(spark, runDir, "assign", "kgq", resume = false) {
-        val cc = graft.canon.ConnectedComponents.run(links, 100000L)
-        ents.join(cc.assignments.withColumnRenamed("id", "entityId"),
-            Seq("entityId"), "left")
-          .select($"pred", $"obj", $"norm", $"entityId",
-            coalesce($"comp", $"entityId").as("canonicalId"))
+        graft.Pipeline.assignCanonical(ents, links, 100000L)._1
       })
       Profile.time("nodes")(Snapshots.stage(spark, runDir, "nodes", "kgq", resume = false,
         partitionBy = Seq("kind")) {
