@@ -4,9 +4,20 @@ import org.apache.spark.sql.SparkSession
 
 /** Round benchmark. Emits ONE JSON line:
   *   {"metric":"total","value":<sec>,"unit":"sec",
-  *    "queries":{<name>:<sec>,...},"failed":[...],"sf":"<dir>",
+  *    "queries":{<name>:<sec>,...},"queryReps":{<name>:[r1,r2],...},
+  *    "failed":[...],"sf":"<dir>",
   *    "pipeline":{"files":N,"triples":T,"triplesPerSec":R,"cpus":C,
-  *                "runsSec":[r1,r2],"stagesSec":{<stage>:<sec>,...}}}
+  *                "runsSec":[r1,r2,r3],"stagesSec":{<stage>:<sec>,...},
+  *                "repStages":[{<stage>:<sec>,...},...]}}
+  *
+  * `queries` values are MIN over SPARK_GRAFT_QUERY_REPS (default 2)
+  * reps with clearCache between reps, and `queryReps` carries every
+  * rep — the round-3/4 single-shot walls generated phantom cross-round
+  * regressions (minhash_neardup 3.4→8.6s on unchanged code) purely
+  * from this host's phase-shaped noise. `repStages` carries the
+  * per-stage walls of EVERY pipeline rep (not just the best), so a
+  * driver run whose reps are all phase-hit can distinguish uniform
+  * host inflation from a single-stage cliff.
   *
   * Delivery is belt-and-braces so the round driver can always parse it
   * (round 1 recorded parsed:null because the line reached the driver
@@ -25,10 +36,11 @@ import org.apache.spark.sql.SparkSession
   *    (SPARK_GRAFT_BENCH_FILES, default 200k files) — the north-rule
   *    throughput metric (triples/sec). It now runs BEFORE the query
   *    suite (a fresh JVM, not one carrying 46 queries of heap wake),
-  *    min-of-N reps (SPARK_GRAFT_PIPE_REPS, default 2 — this host's
-  *    wall clock has documented 2×+ phase-shaped noise), and the JSON
-  *    carries the per-rep walls plus the PER-STAGE walls of the best
-  *    rep (from the stage manifests' wallMs), so a pathological run is
+  *    min-of-N reps (SPARK_GRAFT_PIPE_REPS, default 3 — this host's
+  *    wall clock has documented 2×+ phase-shaped noise, and with 3
+  *    reps a quiet one exists with high probability), and the JSON
+  *    carries the per-rep walls plus the PER-STAGE walls of every rep
+  *    (from the stage manifests' wallMs), so a pathological run is
   *    diagnosable from the artifact alone.
   *  - every SparkEntry query on SPARK_GRAFT_SF_DIR (relational + text +
   *    dedup + similarity surface), timed individually; a query that
@@ -43,7 +55,8 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val benchFiles = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILES", "200000").toLong
-    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPE_REPS", "2").toInt
+    val pipeReps = sys.env.getOrElse("SPARK_GRAFT_PIPE_REPS", "3").toInt
+    val queryReps = sys.env.getOrElse("SPARK_GRAFT_QUERY_REPS", "2").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -103,35 +116,50 @@ object Bench {
     val (pipeSec, res, stageWalls) = reps.minBy(_._1)
     val rate = res.triples / pipeSec
 
-    // ---- query suite ----
+    // ---- query suite: min over queryReps reps per query ----
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok = try { fn(spark, sfDir).count(); true }
-        catch { case _: Throwable => failed += name; false }
-      val sec = (System.nanoTime() - t0) / 1e9
-      // drop blocks persisted inside operators (dedup/LSH) so later
-      // queries aren't measured under another query's memory pressure
-      spark.catalog.clearCache()
-      // a failed query's time-to-throw is NOT a timing: keeping it in
-      // "queries"/total would deflate cross-round comparisons (the
-      // failure itself is reported via "failed")
-      if (ok) Some(name -> sec) else None
+      val walls = (1 to queryReps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { fn(spark, sfDir).count(); true }
+          catch { case _: Throwable => false }
+        val sec = (System.nanoTime() - t0) / 1e9
+        // drop blocks persisted inside operators (dedup/LSH) so later
+        // reps/queries aren't measured under another run's memory
+        // pressure
+        spark.catalog.clearCache()
+        // a failed rep's time-to-throw is NOT a timing: keeping it in
+        // "queries"/total would deflate cross-round comparisons (the
+        // failure itself is reported via "failed")
+        if (ok) Some(sec) else None
+      }
+      // failed = no rep succeeded (deterministic breakage); a query
+      // that succeeded on any rep keeps its min — queryReps carrying
+      // fewer entries than queryReps reps flags the flaky rep
+      if (walls.isEmpty) { failed += name; None } else Some(name -> walls)
     }
 
-    val allQ = results :+ ("kg_pipeline" -> pipeSec)
+    val allQ = results.map { case (k, ws) => k -> ws.min } :+
+      ("kg_pipeline" -> pipeSec)
     val qs = allQ.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qReps = (results :+ ("kg_pipeline" -> reps.map(_._1)))
+      .map { case (k, ws) => "\"" + k + "\":" + ws.mkString("[", ",", "]") }
       .mkString("{", ",", "}")
     val total = allQ.map(_._2).sum
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val runsJson = reps.map(_._1).mkString("[", ",", "]")
-    val stagesJson = stageWalls.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def stagesJsonOf(ws: Seq[(String, Double)]): String =
+      ws.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val repStagesJson = reps.map(r => stagesJsonOf(r._3))
+      .mkString("[", ",", "]")
     val pipeline = s"""{"files":$benchFiles,"triples":${res.triples},""" +
       s""""triplesPerSec":${rate.toLong},"cpus":$cpus,""" +
-      s""""runsSec":$runsJson,"stagesSec":$stagesJson}"""
+      s""""runsSec":$runsJson,"stagesSec":${stagesJsonOf(stageWalls)},""" +
+      s""""repStages":$repStagesJson}"""
     val line = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"failed":$failedJson,"sf":"$sfDir","pipeline":$pipeline}"""
+      s""""queries":$qs,"queryReps":$qReps,"failed":$failedJson,""" +
+      s""""sf":"$sfDir","pipeline":$pipeline}"""
 
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")

@@ -141,7 +141,13 @@ object Pipeline {
     val links = Snapshots.stage(spark, runDir, "link_edges", runId, resume) {
       val fuzzyNonEmpty =
         !ents.filter(col("pred").isin(Linking.FuzzyPreds: _*)).isEmpty
-      Linking.linkEdges(ents, cfg.link, Some(fuzzyNonEmpty),
+      // shared shingle table materialized once under the run dir (read
+      // 4x by the link plans; see Linking.sharedShingles) unless the
+      // caller already chose a scratch location
+      val linkCfg =
+        if (cfg.link.scratchDir.isDefined) cfg.link
+        else cfg.link.copy(scratchDir = Some(s"$runDir/_scratch/link_edges"))
+      Linking.linkEdges(ents, linkCfg, Some(fuzzyNonEmpty),
         sizeHint = Some(Snapshots.readManifest(runDir, "entities").rows))
     }
 

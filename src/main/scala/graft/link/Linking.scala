@@ -84,8 +84,22 @@ object Linking {
       // cost is a member that scores below threshold against the
       // star center but at/above it against some other member —
       // possible only in huge borderline-J buckets, which the AND
-      // amplification makes rare by construction.
-      maxBandBucket: Int = 10000
+      // amplification makes rare by construction. The cap ALSO bounds
+      // executor memory: collect_list only ever aggregates buckets at
+      // or below the cap (oversized buckets take the join-based star
+      // path, which buffers nothing per key), so the largest
+      // aggregation buffer is maxBandBucket longs (~80 KB at the
+      // default) no matter how pathological the corpus.
+      maxBandBucket: Int = 10000,
+      // when set, the shared shingle table (computed from the entity
+      // snapshot, then read by the stop-shingle census, the banded
+      // keys, AND both sides of the scoring join) is materialized to
+      // `<scratchDir>/shingled` parquet once instead of recomputed by
+      // every consumer — the disk-backed equivalent of a persist()
+      // with no block-manager lifetime to manage (the caller owns the
+      // directory). Pipeline points this at the run directory; ad-hoc
+      // queries (small inputs) leave it None and recompute.
+      scratchDir: Option[String] = None
   ) {
     def stopShingleCap(nEntities: Long): Long =
       math.max(maxShingleDf, (maxShingleDfFrac * nEntities).toLong)
@@ -157,11 +171,6 @@ object Linking {
       .select(col("entityId").as("src"), col("dst"))
   }
 
-  /** Banded candidate pairs WITHOUT scoring — the candidate half of
-    * [[lshEdges]] (which feeds these into [[scorePairs]]); exposed
-    * private[graft] so profiling can time the candidate join and the
-    * scoring join separately without mirroring this plan.
-    */
   /** One (pred, entityId, band, key) row per band per form — the
     * blocking table both candidate generators bucket on.
     */
@@ -189,32 +198,54 @@ object Linking {
         col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
-  /** Banded candidate pairs: ONE shuffle (groupBy band key → sorted id
-    * list → in-bucket pair expansion) instead of a self-join's
+  /** Banded candidate pairs: grouped in-bucket expansion (groupBy band
+    * key → sorted id list → pair explode) instead of a self-join's
     * two-sided shuffle + merge — measured 15–40% faster on the same
     * 8.9M-candidate workload with an identical candidate set (every
-    * unordered in-bucket pair, src < dst). The two-level explode keeps
-    * per-row memory at O(bucket), and buckets past
-    * [[Config.maxBandBucket]] expand as a star around the min id
-    * (sort_array makes the center — and therefore the output —
-    * deterministic under any collect_list order) instead of the full
-    * clique, bounding a pathological bucket at s pairs instead of s².
+    * unordered in-bucket pair, src < dst).
+    *
+    * Two-phase so the [[Config.maxBandBucket]] star guard bounds
+    * MEMORY as well as output (round-4 ADVICE): a cheap census pass
+    * (min + count per band key — constant-size aggregation buffers)
+    * splits buckets by size BEFORE anything is collected.
+    *  - buckets ≤ maxBandBucket: clique pairs via sort_array ∘
+    *    collect_list + two-level explode. The census filter runs ahead
+    *    of the aggregation, so the largest possible collect_list
+    *    buffer is maxBandBucket longs — a pathological bucket can no
+    *    longer pin O(bucket) heap in one non-spillable buffer.
+    *  - buckets > maxBandBucket: STAR around the bucket's min id,
+    *    emitted directly from the member↔census join — s pairs instead
+    *    of s², streamed with no per-key buffering at all.
+    * The banded-keys table feeds both the census and the member join
+    * on the SAME (pred, band, key) partitioning, so Catalyst reuses
+    * one exchange; the post-join groupBy inherits that partitioning
+    * and shuffles nothing new. Candidate-set equality with the
+    * single-phase formulation is pinned by LinkingCcSpec (star count,
+    * subset, default-cap no-op).
     */
   private[graft] def lshCandidates(shingled: DataFrame, cfg: Config,
                                    n: Long): DataFrame = {
     val banded = bandedKeys(shingled, cfg, n)
-    banded.groupBy("pred", "band", "key")
+    val census = banded.groupBy("pred", "band", "key")
+      .agg(min(col("entityId")).as("center"), count(lit(1)).as("bn"))
+      .filter(col("bn") > 1)
+    val members = banded.join(census, Seq("pred", "band", "key"))
+    val star = members
+      .filter(col("bn") > cfg.maxBandBucket &&
+        col("entityId") =!= col("center"))
+      // center is the bucket min, so src < dst holds
+      .select(col("pred"), col("center").as("src"),
+        col("entityId").as("dst"))
+    val clique = members.filter(col("bn") <= cfg.maxBandBucket)
+      .groupBy("pred", "band", "key")
       .agg(sort_array(collect_list(col("entityId"))).as("ids"))
-      .filter(size(col("ids")) > 1)
       .select(col("pred"), col("ids"),
         posexplode(col("ids")).as(Seq("i", "x")))
-      .select(col("pred"), col("x"), explode(expr(
-        s"""CASE WHEN size(ids) <= ${cfg.maxBandBucket}
-           |       THEN slice(ids, i + 2, size(ids) - i - 1)
-           |     WHEN i = 0 THEN slice(ids, 2, size(ids) - 1)
-           |     ELSE array() END""".stripMargin)).as("y"))
+      .select(col("pred"), col("x"),
+        explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("y"))
       // ids sorted ascending → x (earlier position) < y always
       .select(col("pred"), col("x").as("src"), col("y").as("dst"))
+    star.unionByName(clique)
   }
 
   /** Debug view of LSH pairs with distances (test use only). */
@@ -243,6 +274,27 @@ object Linking {
       .withColumn("shingles", array_distinct(
         expr(s"transform(sequence(0, length(padded) - $k), i -> substring(padded, i + 1, $k))")))
       .drop("padded")
+
+  /** The shingle table both fuzzy paths share, pruned to the three
+    * columns every consumer needs. Its lineage is read FOUR times per
+    * link run (stop-shingle census, banded keys, and both sides of the
+    * scoring join); with [[Config.scratchDir]] set it is computed once
+    * and materialized as parquet — on a cluster that is exactly where
+    * you'd cut an allocation-heavy subtree (regex norm + substring
+    * explosion over every form) from the widest stage's critical path,
+    * without pinning block-manager memory the way persist() would.
+    */
+  private def sharedShingles(ents: DataFrame, cfg: Config): DataFrame = {
+    val sh = withShingles(ents, cfg.shingleSize)
+      .select(col("pred"), col("entityId"), col("shingles"))
+    cfg.scratchDir match {
+      case Some(dir) =>
+        val path = s"$dir/shingled"
+        sh.write.mode("overwrite").parquet(path)
+        ents.sparkSession.read.parquet(path)
+      case None => sh
+    }
+  }
 
   /** Adds `bsh`: the shingle array with STOP SHINGLES removed — the
     * blocking universe. A shingle present in more than `cap` same-pred
@@ -314,7 +366,7 @@ object Linking {
     */
   private[link] def exactJaccardEdges(ents: DataFrame, cfg: Config,
                                       n: Long): DataFrame = {
-    val shingled = withShingles(ents, cfg.shingleSize)
+    val shingled = sharedShingles(ents, cfg)
     // explode of an empty filtered array yields no rows — all-stop
     // forms drop out of blocking, same as in the banded path
     val ex = withBlockShingles(shingled, cfg.stopShingleCap(n))
@@ -340,7 +392,7 @@ object Linking {
     */
   private def lshEdgesImpl(ents: DataFrame, cfg: Config, n: Long,
                            keepDist: Boolean): DataFrame = {
-    val shingled = withShingles(ents, cfg.shingleSize)
+    val shingled = sharedShingles(ents, cfg)
     // no distinct before scoring: deduping tens of millions of
     // candidates costs a full extra shuffle to trim the ~12% of pairs
     // that collide in >1 band — scoring the duplicates is cheaper, and

@@ -222,8 +222,10 @@ object Dedup {
     val pairs = minhashNearDupPairs(docs, n, minJ, numBands, seed, id, text)
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val cc = graft.canon.ConnectedComponents.run(pairs)
-    val dropped = cc.assignments.filter(col("id") =!= col("comp"))
-      .select(col("id").as(id))
+    // assignments IS the dropped set: the delta contract (see
+    // ConnectedComponents.Result) returns only non-identity (id, comp)
+    // rows, so every listed id is a non-minimal member by construction
+    val dropped = cc.assignments.select(col("id").as(id))
     docs.select(col(id)).join(dropped, Seq(id), "left_anti")
   }
 }

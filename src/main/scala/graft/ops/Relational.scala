@@ -120,6 +120,18 @@ object Relational {
     require(clash.isEmpty,
       s"asofJoin: input columns ${clash.mkString(", ")} collide with " +
         "reserved temp names __t/__p/__is_left — rename them first")
+    // the deterministic tie-break orders the window by the __p payload
+    // struct, so every right payload column must be of an ORDERABLE
+    // type (no MapType): a map-typed payload column fails analysis
+    // here rather than running with arbitrary tie resolution
+    val unorderable = right.schema.fields
+      .filterNot(f => keys.contains(f.name))
+      .filterNot(f => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType))
+    require(unorderable.isEmpty,
+      s"asofJoin: right payload columns ${unorderable.map(_.name).mkString(", ")} " +
+        "have unorderable types (e.g. map) — the deterministic tie-break " +
+        "sorts by the payload struct; drop or re-encode them first")
     val payload = right.columns.filterNot(keys.contains).toSeq
     val r = right.select(
       keys.map(col) :+ col(rightTime).as("__t") :+

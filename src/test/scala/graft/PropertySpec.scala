@@ -63,6 +63,28 @@ object GraftProps extends Properties("graft") {
         (stripped.isEmpty || out.nonEmpty)
     }
 
+  // pins the edges-stage storage trick (Pipeline drops subj on the
+  // extract snapshot and re-derives concat(repo, '/', path) on read —
+  // ~15% fewer bytes at 10^12 files): every triple ANY extractor emits
+  // must carry subj == repo + "/" + path, for arbitrary repo/path
+  // strings including embedded slashes — otherwise drop/re-derive
+  // would silently rewrite provenance
+  property("subj round-trips through the extract snapshot's drop/re-derive") = {
+    val seg = Gen.nonEmptyListOf(
+      Gen.oneOf(Gen.alphaNumChar, Gen.oneOf('/', '.', '-', '_'))).map(_.mkString)
+    val file = for {
+      repo <- seg
+      path <- seg
+      lang <- Gen.oneOf("python", "scala", "markdown", "text")
+      body <- Gen.oneOf("import os\nx = 1\n", "# title\nSee docs.example.org\n",
+        "def f():\n  pass\n", "")
+    } yield SourceFile(repo, path, "c0", lang, body)
+    Prop.forAllNoShrink(Gen.listOfN(5, file)) { files =>
+      graft.extract.Extraction.extract(files.toDS())
+        .collect().forall(t => t.subj == s"${t.repo}/${t.path}")
+    }
+  }
+
   property("estimateTokens matches split-based count") =
     Prop.forAll(Gen.listOf(Gen.oneOf("word", "a", "  ", "\t", "x y")).map(_.mkString(" "))) { s =>
       val t = s.trim
