@@ -329,6 +329,30 @@ object SparkEntry {
       Similarity.ivfTopK(Similarity.ivfAssign(embs, cents), cents, q, 10,
         nProbe = 4)
     }),
+    // the SERVING shape of the same index: inverted lists persisted
+    // partitioned by list_id (ivfWriteIndex), probe reads ONLY the
+    // nProbe probed directories — the query itself asserts the probe
+    // filter landed in the scan's PartitionFilters, so the 100 TB
+    // pruning property is enforced on every driver run, not just in
+    // OpsSpec. Same one-hot centroids and oracle as ivf_topk (the
+    // stored path must return identical rows).
+    "ivf_topk_stored" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val embs = t(dir, "embeddings")
+      val q = embs.filter(col("vec_id") === 0)
+        .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
+      val cents = Array.tabulate(16)(j =>
+        Array.tabulate(q.length)(i => if (i == j) 1.0 else 0.0))
+      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
+        .toString
+      Similarity.ivfWriteIndex(Similarity.ivfAssign(embs, cents), idx)
+      val out = Similarity.ivfTopKStored(s, idx, cents, q, 10, nProbe = 4)
+      val plan = out.queryExecution.executedPlan.toString
+      require("PartitionFilters: \\[list_id#\\d+ IN ".r
+          .findFirstIn(plan).isDefined,
+        s"ivf_topk_stored: probe filter did not prune partitions:\n$plan")
+      out
+    }),
     "lsh_topk" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       val embs = t(dir, "embeddings")
@@ -800,6 +824,23 @@ object SparkEntry {
     // set = the 4 largest coordinates of the query; exact cosine
     // inside probed lists — the same plan ivfAssign/ivfTopK execute
     "ivf_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |asn AS (SELECT vec_id, j AS list_id FROM (
+        |  SELECT e.vec_id, t.i AS j,
+        |    row_number() OVER (PARTITION BY e.vec_id
+        |      ORDER BY e.v[t.i + 1] DESC, t.i ASC) AS rn
+        |  FROM e, unnest(range(0, 16)) AS t(i)) WHERE rn = 1),
+        |probes AS (SELECT t.i AS j FROM q, unnest(range(0, 16)) AS t(i)
+        |  ORDER BY q.qv[t.i + 1] DESC, t.i ASC LIMIT 4)
+        |SELECT e.vec_id, round(list_cosine_similarity(e.v,
+        |  (SELECT qv FROM q)), 6) AS cos
+        |FROM e JOIN asn USING (vec_id)
+        |WHERE asn.list_id IN (SELECT j FROM probes)
+        |ORDER BY cos DESC, vec_id ASC LIMIT 10""".stripMargin,
+    // identical twin to ivf_topk: the stored (partition-pruned) index
+    // must return exactly what the in-memory path returns
+    "ivf_topk_stored" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |asn AS (SELECT vec_id, j AS list_id FROM (
