@@ -99,6 +99,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("lshCandidates materializes the banded subtree once (ReusedExchange)") {
+    // the star and clique branches of the window census both consume
+    // the banded-keys exchange; AQE must materialize that shuffle ONCE
+    // and reuse the stage in the second branch. Losing this property
+    // (e.g. by putting a partial aggregate between `banded` and its
+    // exchange, as the rejected groupBy+join census did) re-runs the
+    // minhash-signature subtree — the stage's most expensive compute —
+    // and measured +67% on link_edges at 200k files (BENCH.md §0).
+    import graft.link.Linking
+    val forms = (0 until 3000).map(i => s"entity-form-number-$i-of-the-corpus")
+    val ents = Linking.entitiesOf(
+      forms.toDF("obj").withColumn("pred", lit("tagged")))
+    val sh = Linking.withShingles(ents, 3)
+    val cand = Linking.lshCandidates(sh, Linking.Config(), 3000L)
+    cand.collect() // drive AQE to the final plan on THIS QueryExecution
+    val p = cand.queryExecution.executedPlan.toString
+    assert(p.linesIterator.next().contains("isFinalPlan=true"), p.take(500))
+    assert(p.contains("ReusedExchange"),
+      s"banded exchange must be materialized once and reused:\n${p.take(4000)}")
+  }
+
   test("asofJoin plans one shuffle and no join operator") {
     // the whole point of the union+window design: a per-key inequality
     // join would appear as BroadcastNestedLoopJoin (or a range-join
