@@ -55,6 +55,27 @@ class LinkingCcSpec extends SparkSpec {
       s"missing=${(viaLsh -- viaExact).take(3)} extra=${(viaExact -- viaLsh).take(3)}")
   }
 
+  test("scratch-dir shingle materialization changes nothing but the plan") {
+    // Pipeline points Config.scratchDir at the run dir so the shared
+    // shingle table is computed once and read as parquet; ad-hoc
+    // callers recompute it. Same edges either way — the materialized
+    // table is a pure cache, and a parquet round-trip must not perturb
+    // shingles (array<string>) or ids.
+    val dir = java.nio.file.Files.createTempDirectory("graft-scratch").toString
+    val viaScratch = Linking.linkEdges(ents,
+        Linking.Config(scratchDir = Some(dir)), fuzzyNonEmpty = Some(true),
+        sizeHint = Some(100000L))
+      .as[(Long, Long)].collect().toSet
+    val viaRecompute = Linking.linkEdges(ents, Linking.Config(),
+        fuzzyNonEmpty = Some(true), sizeHint = Some(100000L))
+      .as[(Long, Long)].collect().toSet
+    assert(viaScratch == viaRecompute,
+      s"missing=${(viaRecompute -- viaScratch).take(3)} " +
+        s"extra=${(viaScratch -- viaRecompute).take(3)}")
+    assert(new java.io.File(s"$dir/shingled").exists,
+      "scratchDir must actually be used")
+  }
+
   test("distinct entities stay separate") {
     assert(groups("docs.example.org") != groups("api.acme.io"))
     assert(groups("docs.example.org") != groups("wiki.sample.net"))
