@@ -31,13 +31,7 @@ object MinHash {
     z ^ (z >>> 31)
   }
 
-  /** n signed-min signatures of the string set; null for an empty set
-    * (an empty blocking set must produce NO band keys, not colliding
-    * sentinel keys).
-    */
-  def sigs(arr: ArrayData, n: Int, seed: Long): ArrayData = {
-    val len = arr.numElements()
-    if (len == 0) return null
+  private def permParams(n: Int, seed: Long): (Array[Long], Array[Long]) = {
     val a = new Array[Long](n)
     val b = new Array[Long](n)
     var i = 0
@@ -46,13 +40,48 @@ object MinHash {
       b(i) = splitmix64(seed + 2L * i + 1L)
       i += 1
     }
+    (a, b)
+  }
+
+  /** n signed-min signatures of the string set; null for an empty set
+    * (an empty blocking set must produce NO band keys, not colliding
+    * sentinel keys).
+    */
+  def sigs(arr: ArrayData, n: Int, seed: Long): ArrayData = {
+    val len = arr.numElements()
+    if (len == 0) return null
+    val (a, b) = permParams(n, seed)
     val mins = Array.fill(n)(Long.MaxValue)
     var e = 0
     while (e < len) {
       val s = arr.getUTF8String(e)
       val base = XXH64.hashUnsafeBytes(
         s.getBaseObject, s.getBaseOffset, s.numBytes, seed)
-      i = 0
+      var i = 0
+      while (i < n) {
+        val h = base * a(i) + b(i)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      e += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Same over a set already represented by 64-bit element hashes
+    * (the hashed-shingle linking path): the element IS the base hash —
+    * re-mixed through XXH64.hashLong so the signature family stays
+    * independent of however the caller hashed its elements.
+    */
+  def sigsLong(arr: ArrayData, n: Int, seed: Long): ArrayData = {
+    val len = arr.numElements()
+    if (len == 0) return null
+    val (a, b) = permParams(n, seed)
+    val mins = Array.fill(n)(Long.MaxValue)
+    var e = 0
+    while (e < len) {
+      val base = XXH64.hashLong(arr.getLong(e), seed)
+      var i = 0
       while (i < n) {
         val h = base * a(i) + b(i)
         if (h < mins(i)) mins(i) = h
@@ -64,8 +93,9 @@ object MinHash {
   }
 }
 
-/** minhash_sigs(array<string>, n, seed) — n MinHash signatures of a
-  * shingle set, null on empty input. Sits in the hottest loop of
+/** minhash_sigs(array<string> | array<long>, n, seed) — n MinHash
+  * signatures of a shingle set (strings, or elements pre-hashed to 64
+  * bits), null on empty input. Sits in the hottest loop of
   * entity-linking candidate generation (every surface form, every
   * signature), hence a native codegen'd Expression.
   */
@@ -73,24 +103,32 @@ case class MinHashSigs(child: Expression, n: Int, seed: Long)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ArrayType(StringType, _) if n > 0 =>
+    case ArrayType(StringType, _) | ArrayType(LongType, _) if n > 0 =>
       TypeCheckResult.TypeCheckSuccess
     case other => TypeCheckResult.TypeCheckFailure(
-      s"minhash_sigs expects array<string> with n > 0, got $other (n=$n)")
+      s"minhash_sigs expects array<string> or array<long> with n > 0, got $other (n=$n)")
+  }
+
+  private def kernel: String = child.dataType match {
+    case ArrayType(LongType, _) => "sigsLong"
+    case _ => "sigs"
   }
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullable: Boolean = true
   override def prettyName: String = "minhash_sigs"
 
-  override protected def nullSafeEval(arr: Any): Any =
-    MinHash.sigs(arr.asInstanceOf[ArrayData], n, seed)
+  override protected def nullSafeEval(arr: Any): Any = child.dataType match {
+    case ArrayType(LongType, _) =>
+      MinHash.sigsLong(arr.asInstanceOf[ArrayData], n, seed)
+    case _ => MinHash.sigs(arr.asInstanceOf[ArrayData], n, seed)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     // kernel may return null (empty set) even for a non-null child, so
     // nullSafeCodeGen with an explicit post-call null check
     nullSafeCodeGen(ctx, ev, a => s"""
-      ${ev.value} = graft.functions.MinHash.sigs($a, $n, ${seed}L);
+      ${ev.value} = graft.functions.MinHash.$kernel($a, $n, ${seed}L);
       ${ev.isNull} = (${ev.value} == null);
     """)
   }

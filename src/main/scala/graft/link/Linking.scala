@@ -66,7 +66,6 @@ object Linking {
       maxShingleDf: Long = 1000L,
       maxShingleDfFrac: Double = 0.02,
       seed: Long = 42L,
-      hotThreshold: Long = 100000L,
       // fuzzy sets at or below this size take the exact shingle-block
       // join (all pairs sharing a non-stop shingle, exact-Jaccard
       // scored) — a strict superset of the banded candidate set with
@@ -186,11 +185,17 @@ object Linking {
       .select(col("pred"), col("entityId"),
         graft.functions.MinHashSigs(col("bsh"), nHashes, cfg.seed).as("sigs"))
       .filter(col("sigs").isNotNull)
+    // band key = ONE xxhash64 over the band's rowsPerBand signatures,
+    // not a struct of them: the census window sorts and the bucket
+    // groupBy shuffle on (pred, band, key), and an 8-byte key keeps
+    // that sort/exchange a quarter the width of the 4-long struct. A
+    // 64-bit collision merges two unrelated buckets — it can only ADD
+    // candidates (scored exactly downstream), never drop one, so the
+    // recall analysis in [[lshEdgesImpl]] is a lower bound either way.
     val bandStructs = (0 until cfg.bands).map { b =>
       struct(lit(b).as("band"),
-        struct((0 until cfg.rowsPerBand).map(r =>
-          col("sigs").getItem(b * cfg.rowsPerBand + r).as(s"h$r")): _*)
-          .as("key"))
+        xxhash64((0 until cfg.rowsPerBand).map(r =>
+          col("sigs").getItem(b * cfg.rowsPerBand + r)): _*).as("key"))
     }
     keys.select(col("pred"), col("entityId"),
         explode(array(bandStructs: _*)).as("bk"))
@@ -276,16 +281,27 @@ object Linking {
     lshEdgesImpl(ents, cfg, n, keepDist = false)
 
   /** Distinct character k-shingles of the padded norm, computed with
-    * codegen'd higher-order functions (no UDF).
+    * codegen'd higher-order functions (no UDF), REPRESENTED by their
+    * xxhash64 values (array<long>): every downstream consumer treats
+    * shingles as opaque set elements (df census, band signatures, set
+    * intersection/size), so an 8-byte hash carries the same
+    * information as the 3-char string at a fraction of the shuffle
+    * width, sort cost, and comparison cost in the engine's widest
+    * stage. Jaccard over the hashed sets equals Jaccard over the
+    * string sets unless two distinct shingles of one pred universe
+    * collide in 64 bits — birthday odds ≈ d²/2⁶⁵ ≈ 7e-11 at d=50k
+    * distinct shingles, and deterministic per corpus (the DuckDB
+    * correctness twins recompute STRING Jaccard and stay green).
     * NB: rpad TRUNCATES strings longer than the target length — pad
-    * only the genuinely short ones.
+    * only the genuinely short ones; array_distinct runs on the strings
+    * (hashing preserves distinctness short of a collision).
     */
   private[graft] def withShingles(ents: DataFrame, k: Int): DataFrame =
     ents.withColumn("padded",
         when(length(col("norm")) < k, rpad(col("norm"), k, "_"))
           .otherwise(col("norm")))
-      .withColumn("shingles", array_distinct(
-        expr(s"transform(sequence(0, length(padded) - $k), i -> substring(padded, i + 1, $k))")))
+      .withColumn("shingles", expr(
+        s"transform(array_distinct(transform(sequence(0, length(padded) - $k), i -> substring(padded, i + 1, $k))), s -> xxhash64(s))"))
       .drop("padded")
 
   /** The shingle table both fuzzy paths share, pruned to the three
@@ -335,7 +351,7 @@ object Linking {
       .groupBy("pred", "sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .select("pred", "sh").collect()
-      .map(r => (r.getString(0), r.getString(1)))
+      .map(r => (r.getString(0), r.getLong(1)))
     if (hot.isEmpty) shingled.withColumn("bsh", col("shingles"))
     else {
       val byPred = hot.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).toSeq }

@@ -60,7 +60,7 @@ class LinkingCcSpec extends SparkSpec {
     // shingle table is computed once and read as parquet; ad-hoc
     // callers recompute it. Same edges either way — the materialized
     // table is a pure cache, and a parquet round-trip must not perturb
-    // shingles (array<string>) or ids.
+    // shingles (array<long> element hashes) or ids.
     val dir = java.nio.file.Files.createTempDirectory("graft-scratch").toString
     val viaScratch = Linking.linkEdges(ents,
         Linking.Config(scratchDir = Some(dir)), fuzzyNonEmpty = Some(true),
