@@ -96,6 +96,38 @@ class FunctionsSpec extends SparkSpec {
     assert(agree > 0 && agree < 8, s"agreements=$agree")
   }
 
+  test("minhash_sigs over array<long>: set-min property, codegen, empty -> null") {
+    import graft.functions.MinHashSigs
+    // the hashed-shingle linking path feeds pre-hashed elements; the
+    // long kernel must satisfy the same MinHash identities
+    val sets = Seq(Seq(11L, 22L, 33L), Seq(11L), Seq(99L, 11L), Seq.empty[Long])
+    val got = sets.toDF("sh")
+      .select(MinHashSigs($"sh", 8, 42L).as("sigs"))
+      .collect().map(r => if (r.isNullAt(0)) null else r.getSeq[Long](0))
+    assert(got(3) == null, "empty set must be null")
+    val sub = Seq(Seq(11L, 22L), Seq(33L)).toDF("sh")
+      .select(MinHashSigs($"sh", 8, 42L).as("sigs"))
+      .collect().map(_.getSeq[Long](0))
+    val elementwiseMin = sub(0).zip(sub(1)).map { case (x, y) => math.min(x, y) }
+    assert(got(0) == elementwiseMin, "sigs(A ∪ B) must equal min(sigs(A), sigs(B))")
+    // J=0.5 pair agrees on some but not all signatures
+    val agree = got(1).zip(got(2)).count { case (x, y) => x == y }
+    assert(agree > 0 && agree < 8, s"agreements=$agree")
+    // long input must NOT shortcut to identity permutations of the
+    // elements: the base re-mix (XXH64.hashLong) keeps the signature
+    // family independent of the caller's element hashing, so the sig
+    // of {11} is not any affine image of 11 shared with {11L+2^32}
+    assert(got(1) != Seq(Seq(11L)).toDF("sh")
+      .select(MinHashSigs(org.apache.spark.sql.functions.transform(
+        $"sh", c => c + org.apache.spark.sql.functions.lit(1L << 32)), 8, 42L))
+      .head().getSeq[Long](0))
+    // stays inside whole-stage codegen with a non-foldable source
+    val plan = spark.range(50)
+      .select(MinHashSigs(array($"id", $"id" + 1L), 8, 42L).as("sigs"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("minhash_sigs"), plan)
+  }
+
   test("sign_lsh_bands: empty/all-zero vectors -> null, never colliding sentinel keys") {
     import graft.functions.SignLshBands
     import graft.ops.Similarity
