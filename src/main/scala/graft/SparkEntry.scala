@@ -129,6 +129,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextOps.microSummary(t(dir, "documents"), 10)
     }),
+    // deterministic md5-bucket train/val/test split: pure codegen'd
+    // map, no shuffle; a document's split never changes across
+    // re-runs/resumes/partitioning (the rand()-split leakage bug is
+    // structurally impossible)
+    "split_assign" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.splitAssign(t(dir, "documents"), col("doc_id"),
+          Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
+        .select(col("doc_id"), col("split"))
+    }),
     "tier_classify" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       TextOps.tierClassify(t(dir, "documents"))
@@ -656,6 +666,17 @@ object SparkEntry {
         |  CASE WHEN len(regexp_extract_all(text, '\bthe\b')) >= 3 THEN 'en'
         |    WHEN len(regexp_extract_all(text, '\ba\b')) >= 2 THEN 'en_weak'
         |    ELSE 'und' END AS predicted_lang
+        |FROM documents""".stripMargin,
+    // thresholds are 4-hex-digit floors of the cumulative fractions:
+    // 0.8*65536 -> 0xcccc, 0.9*65536 -> 0xe666; fixed-width lowercase
+    // hex compares lexicographically = numerically in BOTH engines
+    "split_assign" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc'
+        |    THEN 'train'
+        |  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'
+        |    THEN 'val'
+        |  ELSE 'test' END AS split
         |FROM documents""".stripMargin,
     "micro_summary" ->
       """SELECT doc_id,

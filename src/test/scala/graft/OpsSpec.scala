@@ -384,4 +384,31 @@ class OpsSpec extends SparkSpec {
       }.toMap
     assert(viaOp == expected)
   }
+
+  test("splitAssign: deterministic, order-independent, fraction-accurate, shuffle-free") {
+    import graft.ops.Sampling
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    // threshold arithmetic: floors of cumulative fractions in 16 bits
+    assert(Sampling.hexThreshold(0.8) == "cccc")
+    assert(Sampling.hexThreshold(0.9) == "e666")
+    assert(Sampling.hexThreshold(1.0) == "ffff") // clamped, last split absorbs
+    val ids = spark.range(20000).select($"id".as("doc_id"))
+    val assigned = Sampling.splitAssign(ids.toDF(), $"doc_id", splits)
+    // exhaustive + deterministic: same id -> same split under a
+    // different partitioning and row order
+    val a = assigned.as[(Long, String)].collect().toMap
+    val b = Sampling.splitAssign(
+        ids.repartition(7).sort($"doc_id".desc).toDF(), $"doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    assert(a == b, "assignment must not depend on partitioning/order")
+    // fractions honored within md5-uniformity tolerance (20k draws,
+    // sd of train count ~ sqrt(20000*0.8*0.2) ≈ 57; allow 5 sd)
+    val counts = a.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(counts("train") - 16000) < 300, counts.toString)
+    assert(math.abs(counts("val") - 2000) < 300, counts.toString)
+    assert(math.abs(counts("test") - 2000) < 300, counts.toString)
+    // a pure map: no Exchange in the plan, stays in whole-stage codegen
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }
