@@ -277,6 +277,14 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.ngramJaccardPairs(t(dir, "documents"), n = 3, minJ = 0.5)
     }),
+    // decontamination: every 50th doc plays the benchmark/eval set;
+    // the rest is the training corpus to be screened
+    "contamination_check" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val docs = t(dir, "documents")
+      Dedup.contaminated(docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), n = 3)
+    }),
     "dedup_simhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.simhashPairs(t(dir, "documents"), maxHamming = 3)
@@ -835,6 +843,19 @@ object SparkEntry {
         |JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5""".stripMargin,
+    // same word-3-gram shape; bench grams from the doc_id%50=0 docs,
+    // corpus = everything else, n_overlap = distinct shared grams
+    "contamination_check" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)),
+        |bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 50 = 0)
+        |SELECT s.doc_id, count(*) AS n_overlap
+        |FROM sh s JOIN bench USING (sh)
+        |WHERE s.doc_id % 50 <> 0
+        |GROUP BY 1""".stripMargin,
     "cos_topk" ->
       """SELECT vec_id, round(list_cosine_similarity(
         |    CAST(embedding AS DOUBLE[]),

@@ -81,6 +81,31 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Benchmark decontamination: corpus docs sharing at least
+    * `minOverlap` distinct word n-grams with ANY benchmark doc, with
+    * the overlap count — the standard pre-training hygiene pass that
+    * keeps eval data out of the training set.
+    *
+    * Scale shape: benchmark/eval sets are SMALL by construction
+    * (thousands of docs, not billions), so the distinct benchmark
+    * n-gram set is broadcast and the corpus side is a map-side hash
+    * semi-join — the 100 TB corpus is scanned once, never shuffled on
+    * text; the only shuffle is the per-doc overlap count over the
+    * matched (id, shingle) rows (partial-aggregated map-side). For a
+    * benchmark too big to broadcast, this operator is the wrong tool —
+    * that's corpus-vs-corpus near-dedup, i.e. [[ngramJaccardPairs]].
+    */
+  def contaminated(docs: DataFrame, bench: DataFrame, n: Int,
+                   minOverlap: Long = 1L, id: String = "doc_id",
+                   text: String = "text"): DataFrame = {
+    val benchGrams = wordShingles(bench, n, id, text)
+      .select(col("shingle")).distinct()
+    wordShingles(docs, n, id, text)
+      .join(broadcast(benchGrams), Seq("shingle"))
+      .groupBy(col(id)).agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= minOverlap)
+  }
+
   /** 64-bit word hash both engines can compute: the little-endian
     * uint64 of md5 bytes 8..15 — exactly DuckDB's
     * `md5_number_lower(word)`, reassembled here from the hex digest by

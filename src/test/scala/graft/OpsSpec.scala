@@ -411,4 +411,28 @@ class OpsSpec extends SparkSpec {
     val plan = assigned.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("contaminated matches brute-force overlap; bench side broadcasts") {
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val got = Dedup.contaminated(corpus, bench, n = 3)
+      .as[(Long, Long)].collect().toMap
+    // brute force over collected text
+    def grams(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+")
+      if (ws.length <= 3) Set(ws.mkString(" "))
+      else ws.sliding(3).map(_.mkString(" ")).toSet
+    }
+    val benchGrams = bench.select($"text").as[String].collect()
+      .flatMap(grams).toSet
+    val expected = corpus.select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (id, t) => id -> grams(t).count(benchGrams) }
+      .filter(_._2 >= 1).toMap
+    assert(got == expected.map { case (k, v) => k -> v.toLong })
+    // the corpus side must NEVER shuffle on text/shingles: the bench
+    // gram set rides a broadcast hash join
+    val plan = Dedup.contaminated(corpus, bench, n = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
 }
