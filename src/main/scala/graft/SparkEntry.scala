@@ -129,6 +129,34 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       TextOps.microSummary(t(dir, "documents"), 10)
     }),
+    // Gopher repetition rules: pure codegen'd array exprs, no shuffle
+    "repetition_score" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      TextOps.repetitionScore(t(dir, "documents"))
+    }),
+    // PII planted deterministically from doc_id arithmetic (both
+    // engines recompute the planted text bit-identically), then
+    // scrubbed by the shared RE2-safe pattern chain
+    "pii_scrub" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val planted = t(dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@ex"), (col("doc_id") % 7).cast("string"), lit(".com"),
+        when(col("doc_id") % 3 === 0, concat(lit(" call 555-"),
+          (col("doc_id") % 900 + 100).cast("string"), lit("-"),
+          (col("doc_id") % 9000 + 1000).cast("string"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" ip 10."),
+          (col("doc_id") % 256).cast("string"), lit(".0."),
+          (col("doc_id") % 100).cast("string"))).otherwise(lit(""))
+      ).as("text"))
+      TextOps.piiScrub(planted)
+    }),
+    // CCNet-style corpus-level duplicated-passage fraction
+    "dup_chunk_frac" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.dupChunkFrac(t(dir, "documents"), k = 5)
+    }),
     // deterministic md5-bucket train/val/test split: pure codegen'd
     // map, no shuffle; a document's split never changes across
     // re-runs/resumes/partitioning (the rand()-split leakage bug is
@@ -690,6 +718,59 @@ object SparkEntry {
       """SELECT doc_id,
         |  array_to_string(regexp_split_to_array(trim(text), '\s+')[1:10], ' ') AS summary
         |FROM documents""".stripMargin,
+    "repetition_score" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |g AS (SELECT doc_id, ws,
+        |  CAST(list_max(list_transform(list_distinct(ws),
+        |    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) AS topf,
+        |  CASE WHEN len(ws) >= 2 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE) / (len(ws) - 1)
+        |  ELSE 0.0 END AS dup2
+        |  FROM w)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  round(topf, 6) AS top_word_frac,
+        |  round(dup2, 6) AS dup_2gram_frac,
+        |  (topf <= 0.2 AND dup2 <= 0.9) AS keep
+        |FROM g""".stripMargin,
+    "pii_scrub" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex' ||
+        |    CAST(doc_id % 7 AS VARCHAR) || '.com' ||
+        |  CASE WHEN doc_id % 3 = 0 THEN ' call 555-' ||
+        |    CAST(doc_id % 900 + 100 AS VARCHAR) || '-' ||
+        |    CAST(doc_id % 9000 + 1000 AS VARCHAR) ELSE '' END ||
+        |  CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' ||
+        |    CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |    CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS t
+        |  FROM documents),
+        |s1 AS (SELECT doc_id, t, regexp_replace(t,
+        |  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1
+        |  FROM p),
+        |s2 AS (SELECT doc_id, t, t1, regexp_replace(t1,
+        |  '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g') AS t2 FROM s1)
+        |SELECT doc_id,
+        |  regexp_replace(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g') AS scrubbed,
+        |  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b'))
+        |     + len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_pii
+        |FROM s2""".stripMargin,
+    "dup_chunk_frac" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    md5_number_lower(array_to_string(ws[(j-1)*5+1:(j-1)*5+5], ' ')) AS h
+        |  FROM w, unnest(range(1, len(ws)//5 + 1)) AS t(j)
+        |  WHERE len(ws) >= 5),
+        |pd AS (SELECT doc_id, h, count(*) AS cnt FROM c GROUP BY 1, 2),
+        |df AS (SELECT h, count(*) AS df FROM pd GROUP BY 1)
+        |SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN df > 1 THEN cnt ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        |  round(CAST(sum(CASE WHEN df > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+        |    / sum(cnt), 6) AS dup_chunk_frac
+        |FROM pd JOIN df USING (h)
+        |GROUP BY doc_id""".stripMargin,
     "tier_classify" ->
       """WITH w AS (SELECT doc_id,
         |    len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS n_ideas

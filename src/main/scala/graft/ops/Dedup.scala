@@ -106,6 +106,49 @@ object Dedup {
       .filter(col("n_overlap") >= minOverlap)
   }
 
+  /** Corpus-level duplicated-text fraction (the CCNet/RefinedWeb
+    * passage-dedup signal): split each doc into NON-overlapping
+    * `k`-word chunks (partial tail dropped), compute each chunk's
+    * document frequency across the whole corpus, and report per doc
+    * the fraction of its chunks that also appear in some OTHER doc.
+    * Docs shorter than `k` words emit no chunks and are absent.
+    *
+    * Scale shape: chunks are immediately replaced by their 64-bit
+    * md5-derived hashes ([[md5NumberLower]]), so the two shuffles
+    * (df count on the chunk key; join back to docs) move only
+    * (long, long) pairs — never text. Chunk count is n_words/k per
+    * doc (not n_words like shingles), the df aggregate is map-side
+    * combined, and the per-doc rollup re-shuffles on the doc id.
+    * A 2^-64 hash collision makes two distinct chunks compare equal
+    * — the standard trade at web scale (same as exact-dedup md5).
+    */
+  def dupChunkFrac(docs: DataFrame, k: Int, id: String = "doc_id",
+                   text: String = "text"): DataFrame = {
+    require(k >= 1, s"chunk size must be >= 1, got $k")
+    val chunks = docs
+      .select(col(id), split(trim(col(text)), "\\s+").as("__ws"))
+      .filter(size(col("__ws")) >= k)
+      .select(col(id), explode(expr(
+        s"""transform(
+           |  sequence(1, size(__ws) div $k),
+           |  j -> array_join(slice(__ws, (j - 1) * $k + 1, $k), ' '))"""
+          .stripMargin)).as("chunk"))
+      .select(col(id), md5NumberLower(md5(col("chunk"))).as("h"))
+    // a doc repeating its own chunk counts each occurrence, but only
+    // cross-doc repetition marks a chunk duplicated (distinct doc df)
+    val perDoc = chunks.groupBy(col(id), col("h"))
+      .agg(count(lit(1)).as("cnt"))
+    val df = perDoc.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+    perDoc.join(df, Seq("h"))
+      .groupBy(col(id)).agg(
+        sum(col("cnt")).as("n_chunks"),
+        sum(when(col("df") > 1, col("cnt")).otherwise(0L)).as("n_dup_chunks"))
+      .select(col(id), col("n_chunks"), col("n_dup_chunks"),
+        round(col("n_dup_chunks").cast("double") / col("n_chunks"), 6)
+          .as("dup_chunk_frac"))
+  }
+
   /** 64-bit word hash both engines can compute: the little-endian
     * uint64 of md5 bytes 8..15 — exactly DuckDB's
     * `md5_number_lower(word)`, reassembled here from the hex digest by

@@ -157,6 +157,65 @@ object TextOps {
     text
   }
 
+  /** Gopher-style repetition metrics (Rae et al. 2021, table A1):
+    * fraction of words taken by the single most frequent word, and
+    * fraction of duplicate word 2-grams — the two cheapest signals
+    * that a page is boilerplate/spam. Pure array expressions inside
+    * whole-stage codegen: the mode is an O(distinct×n) filter scan
+    * per row (docs are bounded; no explode, no shuffle), so the
+    * operator is embarrassingly parallel at any corpus size.
+    */
+  def repetitionScore(docs: DataFrame,
+                      maxTopWordFrac: Double = 0.2,
+                      maxDup2GramFrac: Double = 0.9,
+                      id: String = "doc_id",
+                      text: String = "text"): DataFrame = {
+    val nW = size(col("__ws"))
+    val topCnt = expr(
+      "array_max(transform(array_distinct(__ws), w -> size(filter(__ws, x -> x = w))))")
+    val grams = expr(
+      """transform(sequence(1, size(__ws) - 1),
+        |  i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))""".stripMargin)
+    val dup2 = when(nW >= 2,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / (nW - 1))
+      .otherwise(0.0)
+    val topFrac = topCnt.cast("double") / nW
+    docs.select(col(id), words(col(text)).as("__ws"))
+      .select(col(id),
+        nW.cast("long").as("n_words"),
+        round(topFrac, 6).as("top_word_frac"),
+        round(dup2, 6).as("dup_2gram_frac"),
+        (topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac).as("keep"))
+  }
+
+  /** PII redaction patterns: RE2-safe (no backrefs/lookarounds), so
+    * the exact same pattern strings run under Spark's java.util.regex
+    * and any RE2-family engine a downstream audit might use.
+    */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\b\\d{3}-\\d{3}-\\d{4}\\b", "<PHONE>"),
+    ("\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b", "<IP>"))
+
+  /** PII scrubbing: sequentially redact emails, phone numbers, and
+    * IPv4 addresses, counting matches at each stage (each count runs
+    * on the text as already scrubbed by the previous stages, so an
+    * address inside an email's domain is never double-counted).
+    * Pure regexp_replace/regexp_extract_all chain — codegen'd,
+    * no shuffle, linear scans per row.
+    */
+  def piiScrub(docs: DataFrame, id: String = "doc_id",
+               text: String = "text"): DataFrame = {
+    val (scrubbed, counts) =
+      PiiPatterns.foldLeft((col(text), Seq.empty[Column])) {
+        case ((t, cs), (pat, repl)) =>
+          (regexp_replace(t, lit(pat), lit(repl)),
+            cs :+ size(regexp_extract_all(t, lit(pat), lit(0))).cast("long"))
+      }
+    docs.select(col(id), scrubbed.as("scrubbed"),
+      counts.reduce(_ + _).as("n_pii"))
+  }
+
   /** Compliance review: broadcast rule table joined on regex match
     * (/root/reference/Prompts/Review_Securiity_Document — the rule
     * list as data, not code). Broadcast nested-loop join: |rules| regex

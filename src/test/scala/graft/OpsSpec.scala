@@ -412,6 +412,77 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("repetitionScore matches brute force; shuffle-free codegen plan") {
+    import graft.ops.TextOps
+    val got = TextOps.repetitionScore(docs)
+      .as[(Long, Long, Double, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    val expected = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (id, t) =>
+        val ws = t.trim.split("\\s+").toSeq
+        val topF = ws.groupBy(identity).values.map(_.size).max.toDouble / ws.size
+        val grams = ws.sliding(2).map(_.mkString(" ")).toSeq
+        val dup2 = if (ws.size >= 2) 1.0 - grams.distinct.size.toDouble / grams.size else 0.0
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        id -> ((ws.size.toLong, r6(topF), r6(dup2), topF <= 0.2 && dup2 <= 0.9))
+      }.toMap
+    assert(got == expected)
+    // per-row metric: must never shuffle
+    val plan = TextOps.repetitionScore(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("piiScrub redacts emails/phones/IPs with stage-ordered counts") {
+    import graft.ops.TextOps
+    val rows = Seq(
+      (1L, "mail me at bob.smith+x@corp.example.org today"),
+      (2L, "call 555-123-4567 or 555-999-0000"),
+      (3L, "host at 192.168.0.1 port 80"),
+      // numeric domain is NOT an email (needs a letter TLD), so the
+      // IP stage sees and redacts both addresses
+      (4L, "admin@10.2.3.4 and bare 10.2.3.4"),
+      (5L, "no pii here")).toDF("doc_id", "text")
+    val got = TextOps.piiScrub(rows)
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "mail me at <EMAIL> today", 1L)))
+    assert(got(1) == ((2L, "call <PHONE> or <PHONE>", 2L)))
+    assert(got(2) == ((3L, "host at <IP> port 80", 1L)))
+    assert(got(3) == ((4L, "admin@<IP> and bare <IP>", 2L)))
+    assert(got(4) == ((5L, "no pii here", 0L)))
+    val plan = TextOps.piiScrub(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("dupChunkFrac matches brute force and shuffles hashes, not text") {
+    val got = Dedup.dupChunkFrac(docs, k = 5)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val chunksByDoc = docs.select($"doc_id", $"text").as[(Long, String)]
+      .collect().map { case (id, t) =>
+        id -> t.trim.split("\\s+").grouped(5).filter(_.length == 5)
+          .map(_.mkString(" ")).toSeq
+      }.toMap
+    val dfCount = chunksByDoc.toSeq
+      .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.size }
+    val expected = chunksByDoc.collect { case (id, cs) if cs.nonEmpty =>
+      val nDup = cs.count(c => dfCount(c) > 1)
+      def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      id -> ((cs.size.toLong, nDup.toLong, r6(nDup.toDouble / cs.size)))
+    }
+    assert(got == expected)
+    assert(got.exists(_._2._2 > 0), "fixture should contain cross-doc duplicate chunks")
+    // the exploded chunk strings are hashed before the first exchange:
+    // no shuffle in the plan may partition on the 'chunk' string column
+    // (AQE hides ShuffleExchangeExec from collect(), so assert on the
+    // rendered plan's Exchange lines)
+    val planStr = Dedup.dupChunkFrac(docs, k = 5)
+      .queryExecution.executedPlan.toString
+    val exchanges = planStr.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, planStr.take(2000))
+    assert(exchanges.forall(!_.contains("chunk")), exchanges.mkString("\n"))
+  }
+
   test("contaminated matches brute-force overlap; bench side broadcasts") {
     val bench = docs.filter($"doc_id" % 50 === 0)
     val corpus = docs.filter($"doc_id" % 50 =!= 0)
