@@ -167,6 +167,25 @@ object SparkEntry {
           Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)))
         .select(col("doc_id"), col("split"))
     }),
+    // training-mixture reweighting: hash-deterministic per-source
+    // keep rates (downsample src0 hard, keep src1 whole, halve rest)
+    "stratified_sample" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.Sampling.stratifiedSample(t(dir, "documents"),
+          col("doc_id"), col("source"),
+          Map("src0" -> 0.3, "src1" -> 1.0), defaultRate = 0.5)
+        .select(col("doc_id"), col("source"))
+    }),
+    // GPT-style concat-and-chunk packing into 2048-token windows
+    "pack_sequences" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val toks = t(dir, "documents").select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      graft.ops.Sampling.packSequences(toks, col("source"),
+          col("doc_id"), col("n_tokens"), budget = 2048L)
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("start_tok"), col("first_bin"), col("last_bin"))
+    }),
     "tier_classify" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       TextOps.tierClassify(t(dir, "documents"))
@@ -718,6 +737,30 @@ object SparkEntry {
       """SELECT doc_id,
         |  array_to_string(regexp_split_to_array(trim(text), '\s+')[1:10], ' ') AS summary
         |FROM documents""".stripMargin,
+    // thresholds: 4-hex floors of rate*65536 — 0.3 -> 0x4ccc,
+    // 1.0 -> capped 0xffff (the OR keeps the cap's top bucket),
+    // 0.5 -> 0x8000; bucket salt 'sample:' decorrelates from split_assign
+    "stratified_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |  substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bk,
+        |  CASE WHEN source = 'src0' THEN '4ccc'
+        |       WHEN source = 'src1' THEN 'ffff'
+        |       ELSE '8000' END AS th
+        |  FROM documents)
+        |SELECT doc_id, source FROM b
+        |WHERE bk < th OR (th = 'ffff' AND bk = 'ffff')""".stripMargin,
+    "pack_sequences" ->
+      """WITH w AS (SELECT doc_id, source,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS start_tok FROM w)
+        |SELECT doc_id, source, n_tokens, start_tok,
+        |  start_tok // 2048 AS first_bin,
+        |  (start_tok + n_tokens - 1) // 2048 AS last_bin
+        |FROM s""".stripMargin,
     "repetition_score" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents),

@@ -51,4 +51,58 @@ object Sampling {
     }
     df.withColumn("split", assigned)
   }
+
+  /** Deterministic stratified sampling: keep a row iff its md5 bucket
+    * falls under its stratum's rate threshold — the training-mixture
+    * reweighting pass (e.g. downsample crawl to 30%, keep books at
+    * 100%). Same decide-by-hash machinery as [[splitAssign]] but
+    * salted differently (`sample:` prefix), so sampling decisions are
+    * independent of split assignment — without the salt, every
+    * sampled-out document would come from the same end of the split
+    * buckets. Pure codegen'd filter: no shuffle, reproducible across
+    * re-runs/partitioning, auditable in any md5-capable engine.
+    *
+    * `rates`: stratum value → keep fraction in [0,1]; strata absent
+    * from the map use `defaultRate`.
+    */
+  def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r"))
+    val bucket = substring(md5(concat(lit("sample:"), idCol.cast("string"))), 1, 4)
+    val threshold = rates.toSeq.sortBy(_._1).foldRight(
+      lit(hexThreshold(defaultRate))) { case ((stratum, rate), acc) =>
+      when(strataCol === stratum, lit(hexThreshold(rate))).otherwise(acc)
+    }
+    // rate 1.0 keeps everything: hexThreshold caps at 'ffff' which a
+    // 4-hex bucket can reach, so compare with <= only for the cap
+    df.filter(bucket < threshold ||
+      (threshold === lit("ffff") && bucket === lit("ffff")))
+  }
+
+  /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
+    * layout): within each `group` (corpus/source), documents are laid
+    * end-to-end in `order` and the token stream is cut every `budget`
+    * tokens. Returns per document its exclusive token offset and the
+    * first/last context-window bin it lands in (documents may straddle
+    * a cut — that is the concat-packing contract; no padding waste).
+    *
+    * One shuffle: a window over (group, order) — exactly the
+    * repartitionByRange + sort-within-partitions shape at cluster
+    * scale. The running sum is the only state and it is Spark's own
+    * window aggregate (partial buffers, spillable).
+    */
+  def packSequences(df: DataFrame, groupCol: Column, orderCol: Column,
+                    tokensCol: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(groupCol).orderBy(orderCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start = coalesce(sum(tokensCol).over(w), lit(0L))
+    df.withColumn("start_tok", start)
+      .withColumn("first_bin", floor(col("start_tok") / budget))
+      .withColumn("last_bin",
+        floor((col("start_tok") + tokensCol - 1) / budget))
+  }
 }

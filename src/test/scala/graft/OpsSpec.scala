@@ -412,6 +412,65 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("stratifiedSample matches per-row md5 decisions; shuffle-free; rate 1.0 keeps all") {
+    import graft.ops.Sampling
+    val rates = Map("src0" -> 0.3, "src1" -> 1.0)
+    val got = Sampling.stratifiedSample(docs, $"doc_id", $"source",
+        rates, defaultRate = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    // brute force: same salt, same 4-hex bucket, same thresholds
+    def bucket(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"sample:$id".getBytes("UTF-8"))
+      d.take(2).map(b => f"${b & 0xff}%02x").mkString
+    }
+    def th(r: Double): String = f"${math.min(65535L, (r * 65536.0).toLong)}%04x"
+    val expected = docs.select($"doc_id", $"source").as[(Long, String)]
+      .collect().filter { case (id, src) =>
+        val t = th(rates.getOrElse(src, 0.5))
+        bucket(id) < t || (t == "ffff" && bucket(id) == "ffff")
+      }.map(_._1).toSet
+    assert(got == expected)
+    // rate-1.0 stratum loses nothing
+    val src1All = docs.filter($"source" === "src1").select($"doc_id")
+      .as[Long].collect().toSet
+    assert(src1All.subsetOf(got))
+    // order/partitioning-independent and shuffle-free
+    val reGot = Sampling.stratifiedSample(docs.repartition(7), $"doc_id",
+        $"source", rates, defaultRate = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(reGot == got)
+    val plan = Sampling.stratifiedSample(docs, $"doc_id", $"source", rates)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
+  }
+
+  test("packSequences: exclusive prefix offsets per group, bins cover the token stream") {
+    import graft.ops.Sampling
+    val toks = docs.select($"doc_id", $"source",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val got = Sampling.packSequences(toks, $"source", $"doc_id",
+        $"n_tokens", budget = 100L)
+      .select($"doc_id", $"source", $"n_tokens", $"start_tok",
+        $"first_bin", $"last_bin")
+      .as[(Long, String, Long, Long, Long, Long)].collect()
+    val byGroup = got.groupBy(_._2)
+    byGroup.values.foreach { rows =>
+      val sorted = rows.sortBy(_._1)
+      // offsets are the exclusive running sum in doc_id order
+      var run = 0L
+      sorted.foreach { case (_, _, n, start, fb, lb) =>
+        assert(start == run)
+        assert(fb == start / 100 && lb == (start + n - 1) / 100)
+        run += n
+      }
+      // bins tile the group's stream: last doc ends at the total
+      assert(sorted.last._4 + sorted.last._3 == run)
+    }
+    // docs straddling a cut exist at this budget (the concat contract)
+    assert(got.exists(r => r._5 != r._6))
+  }
+
   test("repetitionScore matches brute force; shuffle-free codegen plan") {
     import graft.ops.TextOps
     val got = TextOps.repetitionScore(docs)
