@@ -157,6 +157,17 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.dupChunkFrac(t(dir, "documents"), k = 5)
     }),
+    // the full curation chain: dedup -> repetition filter ->
+    // decontaminate vs the doc_id%50 eval set -> mixture sample ->
+    // split -> pack into 2048-token windows per (split, source)
+    "curation_pipeline" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.Curation.curate(t(dir, "documents"),
+        benchFilter = col("doc_id") % 50 === 0,
+        rates = Map("src0" -> 0.3, "src1" -> 1.0), defaultRate = 0.5,
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        budget = 2048L)
+    }),
     // deterministic md5-bucket train/val/test split: pure codegen'd
     // map, no shuffle; a document's split never changes across
     // re-runs/resumes/partitioning (the rand()-split leakage bug is
@@ -799,6 +810,56 @@ object SparkEntry {
         |     + len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b'))
         |     + len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_pii
         |FROM s2""".stripMargin,
+    // stage-for-stage CTE twin of Curation.curate; thresholds and salt
+    // literals match stratified_sample / split_assign above
+    "curation_pipeline" ->
+      """WITH corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |dd AS (SELECT doc_id, text, source FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM corpus) WHERE rn = 1),
+        |wsr AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM dd),
+        |clean AS (SELECT doc_id, source, ws FROM wsr
+        |  WHERE CAST(list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) <= 0.2
+        |    AND (CASE WHEN len(ws) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE) / (len(ws) - 1)
+        |      ELSE 0.0 END) <= 0.9),
+        |csh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM clean)),
+        |bsh AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(regexp_split_to_array(trim(text),'\s+'))-2,1)+1),
+        |    i -> array_to_string(regexp_split_to_array(trim(text),'\s+')[i:i+2], ' '))) AS sh
+        |  FROM bench)),
+        |flagged AS (SELECT c.doc_id FROM csh c JOIN bsh USING (sh)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |decon AS (SELECT * FROM clean
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |samp AS (SELECT * FROM (SELECT *,
+        |    substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bk,
+        |    CASE WHEN source = 'src0' THEN '4ccc'
+        |         WHEN source = 'src1' THEN 'ffff'
+        |         ELSE '8000' END AS th
+        |  FROM decon)
+        |  WHERE bk < th OR (th = 'ffff' AND bk = 'ffff')),
+        |spl AS (SELECT *,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split FROM samp),
+        |tok AS (SELECT doc_id, source, split, CAST(len(ws) AS BIGINT) AS n_tokens
+        |  FROM spl),
+        |packed AS (SELECT *, CAST(coalesce(sum(n_tokens) OVER (
+        |    PARTITION BY split, source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS start_tok FROM tok)
+        |SELECT doc_id, source, split, n_tokens, start_tok,
+        |  start_tok // 2048 AS first_bin,
+        |  (start_tok + n_tokens - 1) // 2048 AS last_bin
+        |FROM packed""".stripMargin,
     "dup_chunk_frac" ->
       """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
         |  FROM documents),

@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** End-to-end training-corpus curation: the composition every
+  * pretraining data pipeline runs before a token ever reaches a
+  * trainer, expressed as one declarative DataFrame chain so Catalyst
+  * sees (and optimizes) the whole thing:
+  *
+  *   1. exact dedup (keep the lowest-id row per md5(text));
+  *   2. Gopher repetition filter ([[TextOps.repetitionMetrics]]);
+  *   3. benchmark decontamination (drop docs sharing >= `minOverlap`
+  *      word n-grams with the held-out eval set, [[Dedup.contaminated]]);
+  *   4. deterministic stratified mixture sampling
+  *      ([[Sampling.stratifiedSample]]);
+  *   5. train/val/test split ([[Sampling.splitAssign]]);
+  *   6. concat-and-chunk packing into `budget`-token context windows
+  *      per (split, stratum) ([[Sampling.packSequences]]).
+  *
+  * Scale shape, stage by stage: (1) one shuffle on the 16-byte digest;
+  * (2) shuffle-free codegen'd array exprs; (3) eval n-grams broadcast,
+  * the flagged-id set is tiny so the anti-join broadcasts too — the
+  * corpus is never shuffled on text; (4)+(5) shuffle-free md5
+  * thresholds; (6) one range-shaped window shuffle on (split, stratum,
+  * order). Every stage is deterministic (hash decisions, not rand()),
+  * so a re-run — or an incremental ingest that re-curates a grown
+  * corpus — reproduces the survivors bit-identically.
+  */
+object Curation {
+
+  /** `benchFilter` marks held-out eval docs (they are REMOVED from the
+    * training corpus and used only as the decontamination reference).
+    * Returns one row per surviving training doc:
+    * (id, stratum, split, n_tokens, start_tok, first_bin, last_bin).
+    */
+  def curate(docs: DataFrame,
+             benchFilter: Column,
+             rates: Map[String, Double],
+             defaultRate: Double,
+             splits: Seq[(String, Double)],
+             budget: Long,
+             contamN: Int = 3,
+             contamMinOverlap: Long = 5L,
+             maxTopWordFrac: Double = 0.2,
+             maxDup2GramFrac: Double = 0.9,
+             id: String = "doc_id",
+             text: String = "text",
+             strata: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+
+    val bench = docs.filter(benchFilter)
+    val corpus = docs.filter(!benchFilter)
+
+    // 1. exact dedup, keeping the whole row in the same shuffle
+    val byFp = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    val deduped = corpus
+      .withColumn("__rn", row_number().over(byFp))
+      .filter(col("__rn") === 1).drop("__rn")
+
+    // 2. repetition filter (metrics shared with repetitionScore)
+    val (topFrac, dup2) = TextOps.repetitionMetrics(col("__ws"))
+    val clean = deduped
+      .withColumn("__ws", TextOps.words(col(text)))
+      .filter(topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac)
+
+    // 3. decontamination: anti-join against the flagged ids
+    val flagged = Dedup.contaminated(clean, bench, n = contamN,
+      minOverlap = contamMinOverlap, id = id, text = text)
+      .select(col(id))
+    val decontaminated = clean.join(flagged, Seq(id), "left_anti")
+
+    // 4-5. mixture sampling + split assignment (row-wise, hash-based)
+    val sampled = Sampling.stratifiedSample(
+      decontaminated, col(id), col(strata), rates, defaultRate)
+    val split = Sampling.splitAssign(sampled, col(id), splits)
+
+    // 6. pack each (split, stratum) stream into context windows
+    val toks = split.select(col(id), col(strata), col("split"),
+      size(col("__ws")).cast("long").as("n_tokens"))
+    Sampling.packSequences(toks,
+        struct(col("split"), col(strata)), col(id),
+        col("n_tokens"), budget)
+      .select(col(id), col(strata), col("split"), col("n_tokens"),
+        col("start_tok"), col("first_bin"), col("last_bin"))
+  }
+}

@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
-  private def words(text: Column): Column = split(trim(text), "\\s+")
+  private[ops] def words(text: Column): Column = split(trim(text), "\\s+")
 
   /** Whitespace token count + the reference's words×1.3 LLM-token
     * estimate (/root/reference/app.py:48-49).
@@ -165,24 +165,31 @@ object TextOps {
     * per row (docs are bounded; no explode, no shuffle), so the
     * operator is embarrassingly parallel at any corpus size.
     */
+  /** Top-word fraction and duplicate-2-gram fraction of a
+    * pre-split word array column (shared by [[repetitionScore]] and
+    * Curation's inline filter — one definition, one semantics).
+    */
+  private[ops] def repetitionMetrics(ws: Column): (Column, Column) = {
+    val nW = size(ws)
+    val topCnt = array_max(transform(array_distinct(ws),
+      w => size(filter(ws, x => x === w))))
+    val grams = transform(sequence(lit(1), nW - 1),
+      i => concat(element_at(ws, i), lit(" "), element_at(ws, i + 1)))
+    val dup2 = when(nW >= 2,
+      lit(1.0) - size(array_distinct(grams)).cast("double") / (nW - 1))
+      .otherwise(0.0)
+    (topCnt.cast("double") / nW, dup2)
+  }
+
   def repetitionScore(docs: DataFrame,
                       maxTopWordFrac: Double = 0.2,
                       maxDup2GramFrac: Double = 0.9,
                       id: String = "doc_id",
                       text: String = "text"): DataFrame = {
-    val nW = size(col("__ws"))
-    val topCnt = expr(
-      "array_max(transform(array_distinct(__ws), w -> size(filter(__ws, x -> x = w))))")
-    val grams = expr(
-      """transform(sequence(1, size(__ws) - 1),
-        |  i -> concat(element_at(__ws, i), ' ', element_at(__ws, i + 1)))""".stripMargin)
-    val dup2 = when(nW >= 2,
-      lit(1.0) - size(array_distinct(grams)).cast("double") / (nW - 1))
-      .otherwise(0.0)
-    val topFrac = topCnt.cast("double") / nW
+    val (topFrac, dup2) = repetitionMetrics(col("__ws"))
     docs.select(col(id), words(col(text)).as("__ws"))
       .select(col(id),
-        nW.cast("long").as("n_words"),
+        size(col("__ws")).cast("long").as("n_words"),
         round(topFrac, 6).as("top_word_frac"),
         round(dup2, 6).as("dup_2gram_frac"),
         (topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac).as("keep"))

@@ -412,6 +412,46 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("curate equals the independent composition of its published stages") {
+    import graft.ops.{Curation, Sampling, TextOps}
+    val rates = Map("src0" -> 0.3, "src1" -> 1.0)
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    val got = Curation.curate(docs, $"doc_id" % 50 === 0, rates, 0.5,
+        splits, budget = 100L)
+      .as[(Long, String, String, Long, Long, Long, Long)].collect()
+
+    // recompose from the individually-oracled operators
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val dedupIds = Dedup.exactSurvivors(corpus).as[Long].collect().toSet
+    val keepIds = TextOps.repetitionScore(corpus).filter($"keep")
+      .select($"doc_id").as[Long].collect().toSet
+    val flagged = Dedup.contaminated(corpus.filter(
+        $"doc_id".isInCollection(dedupIds intersect keepIds)),
+        bench, n = 3, minOverlap = 5L)
+      .select($"doc_id").as[Long].collect().toSet
+    val sampledIds = Sampling.stratifiedSample(corpus, $"doc_id",
+        $"source", rates, 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val expectedIds = (dedupIds intersect keepIds diff flagged)
+      .intersect(sampledIds)
+    assert(got.map(_._1).toSet == expectedIds)
+
+    // split column matches splitAssign; offsets are per-(split,source)
+    // exclusive prefix sums in doc_id order
+    val splitOf = Sampling.splitAssign(corpus, $"doc_id", splits)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    got.foreach { case (id, _, sp0, _, _, _, _) =>
+      assert(sp0 == splitOf(id)) }
+    got.groupBy(r => (r._3, r._2)).values.foreach { rows =>
+      var run = 0L
+      rows.sortBy(_._1).foreach { case (_, _, _, n, start, fb, lb) =>
+        assert(start == run && fb == start / 100 && lb == (start + n - 1) / 100)
+        run += n
+      }
+    }
+  }
+
   test("stratifiedSample matches per-row md5 decisions; shuffle-free; rate 1.0 keeps all") {
     import graft.ops.Sampling
     val rates = Map("src0" -> 0.3, "src1" -> 1.0)
