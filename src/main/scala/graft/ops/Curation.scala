@@ -58,11 +58,23 @@ object Curation {
       .withColumn("__rn", row_number().over(byFp))
       .filter(col("__rn") === 1).drop("__rn")
 
-    // 2. repetition filter (metrics shared with repetitionScore)
-    val (topFrac, dup2) = TextOps.repetitionMetrics(col("__ws"))
+    // 2. repetition filter (metrics shared with repetitionScore).
+    // The predicate LET-BINDS the word array as a transform() lambda
+    // variable instead of referencing a projected alias: predicate
+    // pushdown substitutes aliases into filter conditions with no
+    // cost check (PushPredicateThroughNonJoin/replaceAlias), which
+    // would inline split(text) into every element_at/filter lambda —
+    // O(words²) re-splits per row, measured 10× on this chain. A
+    // lambda binding is a runtime value; the optimizer cannot
+    // duplicate it.
+    val keepExpr = element_at(
+      transform(array(TextOps.words(col(text))), ws => {
+        val (topFrac, dup2) = TextOps.repetitionMetrics(ws)
+        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
+      }), 1)
     val clean = deduped
+      .filter(keepExpr)
       .withColumn("__ws", TextOps.words(col(text)))
-      .filter(topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac)
 
     // 3. decontamination: anti-join against the flagged ids
     val flagged = Dedup.contaminated(clean, bench, n = contamN,
