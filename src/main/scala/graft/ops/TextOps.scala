@@ -181,18 +181,30 @@ object TextOps {
     (topCnt.cast("double") / nW, dup2)
   }
 
+  /** Each output column LET-BINDS the word array via
+    * `transform(array(words), λ)` instead of sharing a projected
+    * `__ws` alias: a downstream `.filter($"keep")` (the operator's
+    * whole point) would otherwise have predicate pushdown inline
+    * `split(text)` into every lambda reference of the alias — an
+    * O(words²) re-split per row (measured 10× on the curation chain;
+    * see Curation.curate step 2). The binding costs one extra split
+    * per output column and is immune to how callers compose it.
+    */
   def repetitionScore(docs: DataFrame,
                       maxTopWordFrac: Double = 0.2,
                       maxDup2GramFrac: Double = 0.9,
                       id: String = "doc_id",
                       text: String = "text"): DataFrame = {
-    val (topFrac, dup2) = repetitionMetrics(col("__ws"))
-    docs.select(col(id), words(col(text)).as("__ws"))
-      .select(col(id),
-        size(col("__ws")).cast("long").as("n_words"),
-        round(topFrac, 6).as("top_word_frac"),
-        round(dup2, 6).as("dup_2gram_frac"),
-        (topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac).as("keep"))
+    def letWs(f: Column => Column): Column =
+      element_at(transform(array(words(col(text))), f), 1)
+    docs.select(col(id),
+      letWs(ws => size(ws).cast("long")).as("n_words"),
+      letWs(ws => round(repetitionMetrics(ws)._1, 6)).as("top_word_frac"),
+      letWs(ws => round(repetitionMetrics(ws)._2, 6)).as("dup_2gram_frac"),
+      letWs { ws =>
+        val (topFrac, dup2) = repetitionMetrics(ws)
+        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
+      }.as("keep"))
   }
 
   /** PII redaction patterns: RE2-safe (no backrefs/lookarounds), so

@@ -529,6 +529,16 @@ class OpsSpec extends SparkSpec {
     // per-row metric: must never shuffle
     val plan = TextOps.repetitionScore(docs).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan.take(2000))
+    // pushdown-proofing: filtering on keep (the operator's purpose)
+    // must keep split(text) let-bound — predicate pushdown inlining a
+    // shared __ws alias once per lambda reference is the O(words²)
+    // regression CurationProbe measures at 10×. With the let-binding
+    // shape, the optimized filter+project plan carries a bounded
+    // handful of split calls, not one per element access.
+    val filteredPlan = TextOps.repetitionScore(docs).filter(col("keep"))
+      .queryExecution.optimizedPlan.toString
+    val nSplit = "split\\(".r.findAllIn(filteredPlan).size
+    assert(nSplit <= 6, s"split inlined $nSplit times:\n${filteredPlan.take(3000)}")
   }
 
   test("piiScrub redacts emails/phones/IPs with stage-ordered counts") {
