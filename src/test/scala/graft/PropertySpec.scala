@@ -3,6 +3,7 @@ package graft
 import graft.canon.ConnectedComponents
 import graft.ops.TextOps
 import org.scalacheck.{Gen, Prop, Properties}
+import org.apache.spark.sql.functions.col
 
 /** ScalaCheck properties (SURVEY.md §5.3). Spark-touching properties
   * use the shared session and small sizes; pure-kernel properties run
@@ -82,6 +83,54 @@ object GraftProps extends Properties("graft") {
     Prop.forAllNoShrink(Gen.listOfN(5, file)) { files =>
       graft.extract.Extraction.extract(files.toDS())
         .collect().forall(t => t.subj == s"${t.repo}/${t.path}")
+    }
+  }
+
+  // the operational virtue of hash-threshold sampling: raising a
+  // stratum's rate only ADDS documents (never swaps any) — an
+  // incremental corpus re-weighted upward keeps every previously
+  // sampled doc, so downstream caches/shards stay valid
+  property("stratifiedSample keep-sets grow monotonically with rate") = {
+    val ids = Gen.listOfN(60, Gen.choose(0L, 100000L)).map(_.distinct)
+    val ratePair = for {
+      r1 <- Gen.choose(0.0, 1.0)
+      r2 <- Gen.choose(r1, 1.0)
+    } yield (r1, r2)
+    Prop.forAllNoShrink(ids, ratePair) { case (xs, (r1, r2)) =>
+      val df = xs.map(i => (i, "s")).toDF("doc_id", "source")
+      def kept(r: Double): Set[Long] =
+        graft.ops.Sampling.stratifiedSample(df, col("doc_id"),
+            col("source"), Map("s" -> r))
+          .select(col("doc_id")).as[Long].collect().toSet
+      kept(r1).subsetOf(kept(r2))
+    }
+  }
+
+  // packSequences bins tile each group's token stream exactly:
+  // offsets are the exclusive prefix sums in order, and every token
+  // index up to the group total is covered by exactly one doc
+  property("packSequences offsets tile the stream for arbitrary token counts") = {
+    val rows = Gen.listOfN(40, for {
+      g <- Gen.oneOf("a", "b", "c")
+      n <- Gen.choose(1L, 500L)
+    } yield (g, n)).map(_.zipWithIndex.map { case ((g, n), i) => (i.toLong, g, n) })
+    Prop.forAllNoShrink(rows, Gen.choose(1L, 300L)) { (xs, budget) =>
+      val df = xs.toDF("id", "grp", "n_tokens")
+      val out = graft.ops.Sampling.packSequences(df, col("grp"), col("id"),
+          col("n_tokens"), budget)
+        .select(col("id"), col("grp"), col("n_tokens"), col("start_tok"),
+          col("first_bin"), col("last_bin"))
+        .as[(Long, String, Long, Long, Long, Long)].collect()
+      out.groupBy(_._2).values.forall { g =>
+        val sorted = g.sortBy(_._1)
+        val offsetsOk = sorted.foldLeft((true, 0L)) {
+          case ((ok, run), (_, _, n, start, fb, lb)) =>
+            (ok && start == run && fb == start / budget &&
+              lb == (start + n - 1) / budget, run + n)
+        }._1
+        offsetsOk && sorted.last._4 + sorted.last._3 ==
+          sorted.map(_._3).sum
+      }
     }
   }
 
