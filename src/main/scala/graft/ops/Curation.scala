@@ -34,6 +34,71 @@ object Curation {
     * Returns one row per surviving training doc:
     * (id, stratum, split, n_tokens, start_tok, first_bin, last_bin).
     */
+  /** Stages 1-2 — exact dedup (keep the lowest-id row per md5(text)
+    * in ONE shuffle) + Gopher repetition filter. The repetition
+    * predicate LET-BINDS the word array as a transform() lambda
+    * variable instead of referencing a projected alias: predicate
+    * pushdown substitutes aliases into filter conditions with no
+    * cost check (PushPredicateThroughNonJoin/replaceAlias), which
+    * would inline split(text) into every element_at/filter lambda —
+    * O(words²) re-splits per row, measured 10× on this chain. A
+    * lambda binding is a runtime value; the optimizer cannot
+    * duplicate it. Output = (id, stratum, text, n_tokens).
+    */
+  private[ops] def cleanStage(corpus: DataFrame,
+                              maxTopWordFrac: Double,
+                              maxDup2GramFrac: Double,
+                              id: String, text: String,
+                              strata: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byFp = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    val deduped = corpus
+      .withColumn("__rn", row_number().over(byFp))
+      .filter(col("__rn") === 1).drop("__rn")
+    val keepExpr = element_at(
+      transform(array(TextOps.words(col(text))), ws => {
+        val (topFrac, dup2) = TextOps.repetitionMetrics(ws)
+        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
+      }), 1)
+    deduped.filter(keepExpr)
+      .select(col(id), col(strata), col(text),
+        size(TextOps.words(col(text))).cast("long").as("n_tokens"))
+  }
+
+  /** Stage 3 — decontamination: anti-join against the ids flagged by
+    * [[Dedup.contaminated]] (the flagged set is small, so AQE
+    * broadcasts the anti-join; the corpus is never shuffled on text).
+    */
+  private[ops] def deconStage(clean: DataFrame, bench: DataFrame,
+                              contamN: Int, contamMinOverlap: Long,
+                              id: String, text: String): DataFrame = {
+    val flagged = Dedup.contaminated(clean, bench, n = contamN,
+      minOverlap = contamMinOverlap, id = id, text = text)
+      .select(col(id))
+    clean.join(flagged, Seq(id), "left_anti")
+  }
+
+  /** Stages 4-6 — hash sampling, split assignment, and packing.
+    * Needs only (id, stratum, n_tokens); text is gone by here.
+    */
+  private[ops] def packStage(decon: DataFrame,
+                             rates: Map[String, Double],
+                             defaultRate: Double,
+                             splits: Seq[(String, Double)],
+                             budget: Long,
+                             id: String, strata: String): DataFrame = {
+    val sampled = Sampling.stratifiedSample(
+      decon, col(id), col(strata), rates, defaultRate)
+    val split = Sampling.splitAssign(sampled, col(id), splits)
+    val toks = split.select(col(id), col(strata), col("split"),
+      col("n_tokens"))
+    Sampling.packSequences(toks,
+        struct(col("split"), col(strata)), col(id),
+        col("n_tokens"), budget)
+      .select(col(id), col(strata), col("split"), col("n_tokens"),
+        col("start_tok"), col("first_bin"), col("last_bin"))
+  }
+
   def curate(docs: DataFrame,
              benchFilter: Column,
              rates: Map[String, Double],
@@ -47,53 +112,52 @@ object Curation {
              id: String = "doc_id",
              text: String = "text",
              strata: String = "source"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val clean = cleanStage(docs.filter(!benchFilter),
+      maxTopWordFrac, maxDup2GramFrac, id, text, strata)
+    val decon = deconStage(clean, docs.filter(benchFilter),
+      contamN, contamMinOverlap, id, text)
+    packStage(decon, rates, defaultRate, splits, budget, id, strata)
+  }
 
-    val bench = docs.filter(benchFilter)
-    val corpus = docs.filter(!benchFilter)
-
-    // 1. exact dedup, keeping the whole row in the same shuffle
-    val byFp = Window.partitionBy(md5(col(text))).orderBy(col(id))
-    val deduped = corpus
-      .withColumn("__rn", row_number().over(byFp))
-      .filter(col("__rn") === 1).drop("__rn")
-
-    // 2. repetition filter (metrics shared with repetitionScore).
-    // The predicate LET-BINDS the word array as a transform() lambda
-    // variable instead of referencing a projected alias: predicate
-    // pushdown substitutes aliases into filter conditions with no
-    // cost check (PushPredicateThroughNonJoin/replaceAlias), which
-    // would inline split(text) into every element_at/filter lambda —
-    // O(words²) re-splits per row, measured 10× on this chain. A
-    // lambda binding is a runtime value; the optimizer cannot
-    // duplicate it.
-    val keepExpr = element_at(
-      transform(array(TextOps.words(col(text))), ws => {
-        val (topFrac, dup2) = TextOps.repetitionMetrics(ws)
-        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
-      }), 1)
-    val clean = deduped
-      .filter(keepExpr)
-      .withColumn("__ws", TextOps.words(col(text)))
-
-    // 3. decontamination: anti-join against the flagged ids
-    val flagged = Dedup.contaminated(clean, bench, n = contamN,
-      minOverlap = contamMinOverlap, id = id, text = text)
-      .select(col(id))
-    val decontaminated = clean.join(flagged, Seq(id), "left_anti")
-
-    // 4-5. mixture sampling + split assignment (row-wise, hash-based)
-    val sampled = Sampling.stratifiedSample(
-      decontaminated, col(id), col(strata), rates, defaultRate)
-    val split = Sampling.splitAssign(sampled, col(id), splits)
-
-    // 6. pack each (split, stratum) stream into context windows
-    val toks = split.select(col(id), col(strata), col("split"),
-      size(col("__ws")).cast("long").as("n_tokens"))
-    Sampling.packSequences(toks,
-        struct(col("split"), col(strata)), col(id),
-        col("n_tokens"), budget)
-      .select(col(id), col(strata), col("split"), col("n_tokens"),
-        col("start_tok"), col("first_bin"), col("last_bin"))
+  /** Snapshotted, resumable curation run — the spark-submit shape of
+    * [[curate]], mirroring the KG pipeline's checkpoint contract:
+    * each stage publishes a versioned parquet snapshot with a
+    * per-partition lineage manifest ([[graft.store.Snapshots]]), and
+    * a re-run with `resume = true` replays completed stages from
+    * storage (a killed run resumes mid-chain; every stage decision is
+    * hash-deterministic, so resumed and fresh runs are
+    * bit-identical). The `cur_decon` snapshot drops `text`: the pack
+    * stage needs only (id, stratum, n_tokens), so the final stage's
+    * scan never touches document bodies.
+    */
+  def run(spark: org.apache.spark.sql.SparkSession,
+          docs: DataFrame, runDir: String, runId: String,
+          benchFilter: Column,
+          rates: Map[String, Double],
+          defaultRate: Double,
+          splits: Seq[(String, Double)],
+          budget: Long,
+          contamN: Int = 3,
+          contamMinOverlap: Long = 5L,
+          maxTopWordFrac: Double = 0.2,
+          maxDup2GramFrac: Double = 0.9,
+          id: String = "doc_id",
+          text: String = "text",
+          strata: String = "source",
+          resume: Boolean = true): DataFrame = {
+    import graft.store.Snapshots
+    val clean = Snapshots.stage(spark, runDir, "cur_clean", runId, resume) {
+      cleanStage(docs.filter(!benchFilter),
+        maxTopWordFrac, maxDup2GramFrac, id, text, strata)
+    }
+    val decon = Snapshots.stage(spark, runDir, "cur_decon", runId, resume) {
+      deconStage(clean, docs.filter(benchFilter),
+        contamN, contamMinOverlap, id, text)
+        .select(col(id), col(strata), col("n_tokens"))
+    }
+    Snapshots.stage(spark, runDir, "cur_packed", runId, resume,
+      partitionBy = Seq("split")) {
+      packStage(decon, rates, defaultRate, splits, budget, id, strata)
+    }
   }
 }

@@ -452,6 +452,45 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("Curation.run snapshots stages, resumes from storage, equals curate()") {
+    import graft.ops.Curation
+    import graft.store.Snapshots
+    val dir = java.nio.file.Files.createTempDirectory("curation-run").toString
+    val rates = Map("src0" -> 0.3, "src1" -> 1.0)
+    val splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) = df
+      .select($"doc_id", $"source", $"split".cast("string"), $"n_tokens",
+        $"start_tok", $"first_bin", $"last_bin")
+      .as[(Long, String, String, Long, Long, Long, Long)].collect().toSet
+    val r1 = rowsOf(Curation.run(spark, docs, dir, "r1",
+      $"doc_id" % 50 === 0, rates, 0.5, splits, budget = 100L))
+    assert(r1.nonEmpty)
+    // resumed run returns identical rows and recomputes NOTHING:
+    // every stage manifest still carries the first run's id
+    val r2 = rowsOf(Curation.run(spark, docs, dir, "r2",
+      $"doc_id" % 50 === 0, rates, 0.5, splits, budget = 100L))
+    assert(r2 == r1)
+    Seq("cur_clean", "cur_decon", "cur_packed").foreach { st =>
+      val m = Snapshots.readManifest(dir, st)
+      assert(m.runId == "r1", s"$st recomputed: ${m.runId}")
+      assert(m.rows > 0 && m.fileRows.values.sum == m.rows)
+    }
+    // a killed run that lost its LAST stage resumes mid-chain: only
+    // cur_packed recomputes
+    def rmrf(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmrf); f.delete() }
+    rmrf(new java.io.File(Snapshots.stageDir(dir, "cur_packed")))
+    val r3 = rowsOf(Curation.run(spark, docs, dir, "r3",
+      $"doc_id" % 50 === 0, rates, 0.5, splits, budget = 100L))
+    assert(r3 == r1)
+    assert(Snapshots.readManifest(dir, "cur_clean").runId == "r1")
+    assert(Snapshots.readManifest(dir, "cur_packed").runId == "r3")
+    // and the snapshotted run equals the single-plan curate()
+    val direct = rowsOf(Curation.curate(docs, $"doc_id" % 50 === 0,
+      rates, 0.5, splits, budget = 100L))
+    assert(r1 == direct)
+  }
+
   test("stratifiedSample matches per-row md5 decisions; shuffle-free; rate 1.0 keeps all") {
     import graft.ops.Sampling
     val rates = Map("src0" -> 0.3, "src1" -> 1.0)
