@@ -157,6 +157,26 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.dupChunkFrac(t(dir, "documents"), k = 5)
     }),
+    // per-stage survivor counts of the curation chain (observability)
+    "curation_funnel" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      graft.ops.Curation.funnel(t(dir, "documents"),
+        benchFilter = col("doc_id") % 50 === 0,
+        rates = Map("src0" -> 0.3, "src1" -> 1.0), defaultRate = 0.5)
+    }),
+    // embedding-space dedup survivors over the planted near-dup corpus
+    // (same corpus as lsh_neardup): sign-LSH pairs -> CC -> min id
+    "lsh_dedup_survivors" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val base = t(dir, "embeddings").select(col("vec_id"),
+        expr("transform(embedding, x -> cast(x as double))").as("embedding"))
+      val pert = base.filter(col("vec_id") % 5 === 0)
+        .withColumnRenamed("vec_id", "orig")
+        .select((col("orig") + 1000000L).as("vec_id"),
+          expr("transform(embedding, (x, i) -> x * (1 + 0.01 * (((orig + i) % 3) - 1)))")
+            .as("embedding"))
+      Similarity.lshDedupSurvivors(base.unionByName(pert), 0.98)
+    }),
     // the full curation chain: dedup -> repetition filter ->
     // decontaminate vs the doc_id%50 eval set -> mixture sample ->
     // split -> pack into 2048-token windows per (split, source)
@@ -810,6 +830,66 @@ object SparkEntry {
         |     + len(regexp_extract_all(t1, '\b\d{3}-\d{3}-\d{4}\b'))
         |     + len(regexp_extract_all(t2, '\b(?:\d{1,3}\.){3}\d{1,3}\b')) AS BIGINT) AS n_pii
         |FROM s2""".stripMargin,
+    // funnel counts over the same CTE chain as curation_pipeline
+    "curation_funnel" ->
+      """WITH corpus AS (SELECT doc_id, text, source FROM documents WHERE doc_id % 50 <> 0),
+        |bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 50 = 0),
+        |dd AS (SELECT doc_id, text, source FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM corpus) WHERE rn = 1),
+        |wsr AS (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM dd),
+        |clean AS (SELECT doc_id, source, ws FROM wsr
+        |  WHERE CAST(list_max(list_transform(list_distinct(ws),
+        |      w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE) / len(ws) <= 0.2
+        |    AND (CASE WHEN len(ws) >= 2 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(ws)),
+        |        i -> ws[i] || ' ' || ws[i+1]))) AS DOUBLE) / (len(ws) - 1)
+        |      ELSE 0.0 END) <= 0.9),
+        |csh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(range(1, greatest(len(ws)-2,1)+1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM clean)),
+        |bsh AS (SELECT DISTINCT sh FROM (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(regexp_split_to_array(trim(text),'\s+'))-2,1)+1),
+        |    i -> array_to_string(regexp_split_to_array(trim(text),'\s+')[i:i+2], ' '))) AS sh
+        |  FROM bench)),
+        |flagged AS (SELECT c.doc_id FROM csh c JOIN bsh USING (sh)
+        |  GROUP BY 1 HAVING count(*) >= 5),
+        |decon AS (SELECT * FROM clean
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |samp AS (SELECT * FROM (SELECT *,
+        |    substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bk,
+        |    CASE WHEN source = 'src0' THEN '4ccc'
+        |         WHEN source = 'src1' THEN 'ffff'
+        |         ELSE '8000' END AS th
+        |  FROM decon)
+        |  WHERE bk < th OR (th = 'ffff' AND bk = 'ffff'))
+        |SELECT '1_corpus' AS stage, count(*) AS n_rows FROM corpus
+        |UNION ALL SELECT '2_clean', count(*) FROM clean
+        |UNION ALL SELECT '3_decontaminated', count(*) FROM decon
+        |UNION ALL SELECT '4_sampled', count(*) FROM samp""".stripMargin,
+    // exact closure over the exact >=0.98 pairs of the planted corpus
+    // (recall-1.0 candidates pinned by the green lsh_neardup row)
+    "lsh_dedup_survivors" ->
+      """WITH RECURSIVE base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |pert AS (SELECT orig + 1000000 AS vec_id,
+        |    list_transform(range(0, len(v)), i -> v[i + 1] * (1 + 0.01 * (((orig + i) % 3) - 1))) AS v
+        |  FROM (SELECT vec_id AS orig, v FROM base WHERE vec_id % 5 = 0)),
+        |a AS (SELECT * FROM base UNION ALL SELECT * FROM pert),
+        |pairs AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+        |  FROM a x JOIN a y ON x.vec_id < y.vec_id
+        |  WHERE list_cosine_similarity(x.v, y.v) >= 0.98),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |dropped AS (SELECT src AS vec_id FROM reach GROUP BY src
+        |  HAVING src > min(dst))
+        |SELECT vec_id FROM a
+        |WHERE vec_id NOT IN (SELECT vec_id FROM dropped)""".stripMargin,
     // stage-for-stage CTE twin of Curation.curate; thresholds and salt
     // literals match stratified_sample / split_assign above
     "curation_pipeline" ->

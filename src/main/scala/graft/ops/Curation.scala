@@ -160,4 +160,38 @@ object Curation {
       packStage(decon, rates, defaultRate, splits, budget, id, strata)
     }
   }
+
+  /** Funnel diagnostic: per-stage survivor counts as one DataFrame —
+    * the observability view every curation run is judged by (how much
+    * did each filter cost?). Each count re-evaluates its stage prefix
+    * (this is a diagnostic over a lazily-composed chain, not the
+    * production path — [[run]]'s manifests carry the same counts for
+    * free from the parquet footers).
+    */
+  def funnel(docs: DataFrame,
+             benchFilter: Column,
+             rates: Map[String, Double],
+             defaultRate: Double,
+             contamN: Int = 3,
+             contamMinOverlap: Long = 5L,
+             maxTopWordFrac: Double = 0.2,
+             maxDup2GramFrac: Double = 0.9,
+             id: String = "doc_id",
+             text: String = "text",
+             strata: String = "source"): DataFrame = {
+    val corpus = docs.filter(!benchFilter)
+    val clean = cleanStage(corpus, maxTopWordFrac, maxDup2GramFrac,
+      id, text, strata)
+    val decon = deconStage(clean, docs.filter(benchFilter),
+      contamN, contamMinOverlap, id, text)
+    val sampled = Sampling.stratifiedSample(
+      decon, col(id), col(strata), rates, defaultRate)
+    def cnt(name: String, df: DataFrame): DataFrame =
+      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"),
+        col("n_rows"))
+    cnt("1_corpus", corpus)
+      .unionByName(cnt("2_clean", clean))
+      .unionByName(cnt("3_decontaminated", decon))
+      .unionByName(cnt("4_sampled", sampled))
+  }
 }

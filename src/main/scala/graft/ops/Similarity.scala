@@ -318,4 +318,24 @@ object Similarity {
       .filter(col("cos_raw") >= minCos)
       .select(col("id_a"), col("id_b"), round(col("cos_raw"), 6).as("cos"))
   }
+
+  /** Embedding-space dedup survivors: [[nearDupPairs]] edges →
+    * connected components → keep each component's minimum id (plus
+    * every singleton). The embedding twin of
+    * [[Dedup.minhashSurvivors]], closing the same loop for
+    * vector-represented corpora (semantic near-dups that share no
+    * n-grams). CC returns only the non-identity delta, so the listed
+    * ids ARE the dropped set; one anti-join finishes it.
+    */
+  def lshDedupSurvivors(embs: DataFrame, minCos: Double,
+                        bands: Int = 8, bitsPerBand: Int = 16,
+                        seed: Long = 42L,
+                        id: String = "vec_id",
+                        emb: String = "embedding"): DataFrame = {
+    val pairs = nearDupPairs(embs, minCos, bands, bitsPerBand, seed, id, emb)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val dropped = graft.canon.ConnectedComponents.run(pairs)
+      .assignments.select(col("id").as(id))
+    embs.select(col(id)).join(dropped, Seq(id), "left_anti")
+  }
 }
