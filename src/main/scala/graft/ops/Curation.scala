@@ -146,16 +146,45 @@ object Curation {
           strata: String = "source",
           resume: Boolean = true): DataFrame = {
     import graft.store.Snapshots
-    val clean = Snapshots.stage(spark, runDir, "cur_clean", runId, resume) {
+
+    // Every stage manifest carries the parameters that produced it,
+    // and a resumed run REFUSES a snapshot built under different
+    // parameters: without this, `run(dir, threshold=0.3)` after
+    // `run(dir, threshold=0.2)` would silently serve the old
+    // thresholds' output (the curation twin of the rand()-split
+    // leakage class — stale-config reuse).
+    def stage(name: String, params: Map[String, String],
+              partitionBy: Seq[String] = Nil)
+             (compute: => DataFrame): DataFrame = {
+      if (resume && Snapshots.isComplete(runDir, name)) {
+        val m = Snapshots.readManifest(runDir, name)
+        require(m.metrics == params,
+          s"stage $name: snapshot in $runDir was built with " +
+            s"${m.metrics} but this run asks for $params — " +
+            "use a fresh runDir or resume = false")
+      }
+      Snapshots.stage(spark, runDir, name, runId, resume,
+        partitionBy, params)(compute)
+    }
+
+    val clean = stage("cur_clean", Map(
+      "maxTopWordFrac" -> maxTopWordFrac.toString,
+      "maxDup2GramFrac" -> maxDup2GramFrac.toString)) {
       cleanStage(docs.filter(!benchFilter),
         maxTopWordFrac, maxDup2GramFrac, id, text, strata)
     }
-    val decon = Snapshots.stage(spark, runDir, "cur_decon", runId, resume) {
+    val decon = stage("cur_decon", Map(
+      "contamN" -> contamN.toString,
+      "contamMinOverlap" -> contamMinOverlap.toString)) {
       deconStage(clean, docs.filter(benchFilter),
         contamN, contamMinOverlap, id, text)
         .select(col(id), col(strata), col("n_tokens"))
     }
-    Snapshots.stage(spark, runDir, "cur_packed", runId, resume,
+    stage("cur_packed", Map(
+      "rates" -> rates.toSeq.sorted.mkString(";"),
+      "defaultRate" -> defaultRate.toString,
+      "splits" -> splits.mkString(";"),
+      "budget" -> budget.toString),
       partitionBy = Seq("split")) {
       packStage(decon, rates, defaultRate, splits, budget, id, strata)
     }

@@ -489,6 +489,13 @@ class OpsSpec extends SparkSpec {
     val direct = rowsOf(Curation.curate(docs, $"doc_id" % 50 === 0,
       rates, 0.5, splits, budget = 100L))
     assert(r1 == direct)
+    // stale-config reuse is refused: resuming with a different
+    // threshold must fail fast, not serve the old snapshot
+    val ex = intercept[IllegalArgumentException] {
+      Curation.run(spark, docs, dir, "r4", $"doc_id" % 50 === 0,
+        rates, 0.5, splits, budget = 100L, maxTopWordFrac = 0.3)
+    }
+    assert(ex.getMessage.contains("cur_clean"), ex.getMessage)
   }
 
   test("stratifiedSample matches per-row md5 decisions; shuffle-free; rate 1.0 keeps all") {
