@@ -422,10 +422,16 @@ object Linking {
   private def lshEdgesImpl(ents: DataFrame, cfg: Config, n: Long,
                            keepDist: Boolean): DataFrame = {
     val shingled = sharedShingles(ents, cfg)
-    // no distinct before scoring: deduping tens of millions of
-    // candidates costs a full extra shuffle to trim the ~12% of pairs
-    // that collide in >1 band — scoring the duplicates is cheaper, and
-    // the post-score distinct (tiny output) removes the repeats
+    // no distinct before scoring. True near-dup pairs collide in most
+    // of the 20 bands, so candidates carry ~2× duplication (9.06M →
+    // 4.46M distinct at 200k files), and halving the scoring join
+    // looks tempting — but the same-JVM interleaved A/B
+    // (tools/ScoreAB, 3 alternations) reads raw 12.3s min vs
+    // distinct-first 14.3s min: the extra full-width shuffle + dedup
+    // of 9M rows costs more than the join rows it trims (the scoring
+    // join's per-row work is one codegen'd array_intersect; the
+    // arrays ride the SETS side, which shuffles identically either
+    // way). The post-score distinct (tiny output) removes the repeats.
     val cand = lshCandidates(shingled, cfg, n)
     scorePairs(cand, shingled, cfg, keepDist).distinct()
   }
