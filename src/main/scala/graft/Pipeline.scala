@@ -127,6 +127,66 @@ object Pipeline {
     // coercion surviving ANSI rule changes.
     val triples = raw.filter(!$"q".cast("boolean")).drop("q")
 
+    val ccIters = downstream(spark, runDir, runId, cfg, triples, resume)
+    resultFrom(runDir, runId, ccIters)
+  }
+
+  /** Incremental ingest: extract ONLY `newFiles` (the content scan —
+    * the cost that dominates at 10^12 files — never re-reads old
+    * corpus bytes) as a NEW version of the extract snapshot, then
+    * recompute the narrow downstream stages (entities, link edges,
+    * canonicalization, node/edge tables — ~1% of the corpus bytes)
+    * over the union of every extract version. Each ingest version-
+    * bumps every stage snapshot, so prior graph states stay
+    * time-travelable ([[graft.store.Snapshots.readVersion]]) and the
+    * published tables are always globally consistent — a new form CAN
+    * merge two previously-separate entities, which no edge-append
+    * scheme would capture.
+    *
+    * Output equality with a from-scratch run over the full corpus is
+    * spec-gated (PipelineSpec): incremental(A) + incremental(B) ≡
+    * full(A ∪ B) on nodes, edges, and counts.
+    */
+  def runIncremental(spark: SparkSession, newFiles: Dataset[SourceFile],
+                     runDir: String, runId: String,
+                     cfg: Config = Config()): Result = {
+    import spark.implicits._
+    require(Snapshots.isComplete(runDir, "extract"),
+      s"no completed prior run in $runDir — use Pipeline.run for the first ingest")
+
+    // delta-only extract, forced new version (resume would skip it)
+    Snapshots.stage(spark, runDir, "extract", runId, resume = false,
+      partitionBy = Seq("q")) {
+      val arranged = newFiles.repartitionByRange(
+        cfg.arrangePartitions.getOrElse(
+          newFiles.sparkSession.sparkContext.defaultParallelism),
+        $"repo", $"path")
+      Extraction.extract(arranged, cfg.extraction).toDF()
+        .withColumn("q", $"pred" === lit(Extraction.QuarantinePred))
+        .drop("subj")
+    }
+
+    // full triple set = union of every ingest's extract snapshot
+    val allRaw = Snapshots.versions(runDir, "extract")
+      .map(v => Snapshots.readVersion(spark, runDir, "extract", v))
+      .reduce(_ unionByName _)
+      .withColumn("subj", concat($"repo", lit("/"), $"path"))
+    val triples = allRaw.filter(!$"q".cast("boolean")).drop("q")
+
+    val ccIters = downstream(spark, runDir, runId, cfg, triples,
+      resume = false)
+    resultFrom(runDir, runId, ccIters)
+  }
+
+  /** Stages 2–4 (entities → link edges → canonicalize → materialize):
+    * everything downstream of the content scan, over narrow tables
+    * only. Shared verbatim by [[run]] and [[runIncremental]].
+    */
+  private def downstream(spark: SparkSession, runDir: String,
+                         runId: String, cfg: Config,
+                         triples: DataFrame, resume: Boolean): Int = {
+    import spark.implicits._
+
     // Stage 2a — entity surface forms
     val ents = Snapshots.stage(spark, runDir, "entities", runId, resume) {
       Linking.entities(triples.as[Triple])
@@ -209,14 +269,24 @@ object Pipeline {
         $"repo", $"path", $"commit")
     }
 
-    // all counts come from stage manifests (no recount jobs); the
-    // quarantine split falls out of the pred= partition-dir keys in
-    // the extract manifest's per-file lineage
-    val extractManifest = Snapshots.readManifest(runDir, "extract")
-    val rawRows = extractManifest.rows
-    val quarantined = extractManifest.fileRows.collect {
+    ccIters
+  }
+
+  /** All counts come from stage manifests (no recount jobs); the
+    * quarantine split falls out of the q= partition-dir keys in the
+    * extract manifests' per-file lineage. Extract counts SUM across
+    * snapshot versions (a full run has one; each incremental ingest
+    * appends one); downstream stages are always globally recomputed,
+    * so their latest manifest IS the global count.
+    */
+  private def resultFrom(runDir: String, runId: String,
+                         ccIters: Int): Result = {
+    val extractManifests = Snapshots.versions(runDir, "extract")
+      .map(v => Snapshots.readManifestVersion(runDir, "extract", v))
+    val rawRows = extractManifests.map(_.rows).sum
+    val quarantined = extractManifests.flatMap(_.fileRows.collect {
       case (f, n) if f.startsWith("q=true/") => n
-    }.sum
+    }).sum
     Result(
       runId = runId,
       triples = rawRows - quarantined,

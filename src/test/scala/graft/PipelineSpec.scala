@@ -87,6 +87,42 @@ class PipelineSpec extends SparkSpec {
     assert(nodeSet(crashed) == nodeSet(fresh))
   }
 
+  test("incremental ingest equals the from-scratch run over the full corpus") {
+    // full(A ∪ B) in one dir; run(A) + runIncremental(B) in another
+    val all = FilesGen.local(n)
+    val (a, b) = all.splitAt(n * 3 / 4)
+    val full = tmpDir("inc-full")
+    val rFull = Pipeline.run(spark, all.toDS(), full, "run-full")
+
+    val inc = tmpDir("inc")
+    Pipeline.run(spark, a.toDS(), inc, "run-base")
+    val rInc = Pipeline.runIncremental(spark, b.toDS(), inc, "run-delta")
+
+    // identical graph: nodes, edges, and every count
+    assert(nodeSet(inc) == nodeSet(full))
+    assert(edgeSet(inc) == edgeSet(full))
+    assert(rInc.copy(runId = "x") == rFull.copy(runId = "x"))
+
+    // the content scan was honestly incremental: extract has two
+    // versions, the second holding ONLY the delta's triples
+    assert(Snapshots.versions(inc, "extract") == Seq(1, 2))
+    val v1 = Snapshots.readManifestVersion(inc, "extract", 1).rows
+    val v2 = Snapshots.readManifestVersion(inc, "extract", 2).rows
+    assert(v1 + v2 == rFull.triples + rFull.quarantined)
+    assert(v2 < v1, s"delta version should be the smaller ingest: $v1/$v2")
+    // prior graph state stays time-travelable: the v1 nodes snapshot
+    // is the base run's graph, not the merged one
+    val nodesV1 = Snapshots.readVersion(spark, inc, "nodes", 1).count()
+    val nodesV2 = Snapshots.readVersion(spark, inc, "nodes", 2).count()
+    assert(nodesV2 == rFull.nodes && nodesV1 < nodesV2)
+
+    // a first-ingest call on an empty dir is refused
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.runIncremental(spark, b.toDS(), tmpDir("inc-empty"), "x")
+    }
+    assert(ex.getMessage.contains("first ingest"), ex.getMessage)
+  }
+
   test("re-run with resume is a no-op yielding identical results") {
     val dir = tmpDir("c")
     val r1 = Pipeline.run(spark, files, dir, "run-c")
