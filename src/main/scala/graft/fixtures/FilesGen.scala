@@ -305,10 +305,14 @@ object FilesGen {
     * driver only ships (seed, range) bounds.
     */
   def dataset(spark: SparkSession, n: Long, seed: Long = 42L,
-              partitions: Int = 0, richness: Int = 1): Dataset[SourceFile] = {
+              partitions: Int = 0, richness: Int = 1,
+              start: Long = 0L): Dataset[SourceFile] = {
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    spark.range(0L, n, 1L, p).map(i => row(i, seed, richness))
+    // `start` slices the same deterministic universe (row i is a pure
+    // function of (i, seed)), so [0,k) ∪ [k,n) == [0,n) exactly — the
+    // incremental-ingest bench's delta corpus
+    spark.range(start, n, 1L, p).map(i => row(i, seed, richness))
   }
 }
