@@ -106,6 +106,54 @@ object Streaming {
     * AFTER the horizon re-emit; pick the watermark to cover the
     * at-least-once redelivery window of the source.
     */
+  /** One micro-batch of streaming KG maintenance: first batch runs
+    * the full pipeline, later batches ingest incrementally
+    * ([[graft.Pipeline.runIncremental]] — delta-only extraction,
+    * global relink, versioned snapshots). IDEMPOTENT per batch id:
+    * foreachBatch replays a batch after a crash, and re-ingesting it
+    * would append duplicate extract versions — the guard skips any
+    * batch whose runId already owns an extract snapshot version, so
+    * replay ≡ no-op (the streaming twin of the batch resume
+    * contract). Returns true when the batch was applied.
+    */
+  def ingestBatch(batch: Dataset[graft.SourceFile], batchId: Long,
+                  runDir: String,
+                  cfg: graft.Pipeline.Config = graft.Pipeline.Config())
+  : Boolean = {
+    import graft.store.Snapshots
+    val runId = s"batch-$batchId"
+    val prior = Snapshots.isComplete(runDir, "extract")
+    val applied = prior && Snapshots.versions(runDir, "extract")
+      .exists(v => Snapshots.readManifestVersion(runDir, "extract", v)
+        .runId == runId)
+    if (applied) false
+    else {
+      if (prior)
+        graft.Pipeline.runIncremental(batch.sparkSession, batch, runDir, runId, cfg)
+      else
+        graft.Pipeline.run(batch.sparkSession, batch, runDir, runId, cfg)
+      true
+    }
+  }
+
+  /** Streaming ingest → incremental graph maintenance: every
+    * micro-batch of new source files lands in the same run dir via
+    * [[ingestBatch]], so the published node/edge snapshots are always
+    * the graph of everything ingested so far (and every prior state
+    * stays time-travelable). Checkpointed; crash-replayed batches are
+    * no-ops via the per-batch idempotence guard.
+    */
+  def kgIngestStream(files: Dataset[graft.SourceFile], runDir: String,
+                     cfg: graft.Pipeline.Config = graft.Pipeline.Config())
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    files.writeStream
+      .option("checkpointLocation", s"$runDir/_stream_checkpoint")
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[graft.SourceFile], batchId: Long) =>
+        ingestBatch(batch, batchId, runDir, cfg): Unit
+      }
+      .start()
+
   def dedupStream(events: DataFrame, keys: Seq[String],
                   watermark: String = "1 hour"): DataFrame =
     events
