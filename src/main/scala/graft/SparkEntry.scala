@@ -543,6 +543,33 @@ object SparkEntry {
       graft.store.Snapshots.read(s, runDir, "nodes")
         .select("canonical", "kind", "memberCount")
     }),
+    // streaming graph maintenance end-to-end: two micro-batches of
+    // source files through kgIngestStream (batch 1 = full run,
+    // batch 2 = incremental ingest), returning the maintained nodes
+    // table. Rows-only for the same reason as kg_pipeline_nodes (the
+    // FilesGen corpus is invisible to DuckDB); the equality of the
+    // maintained graph with a from-scratch batch run is spec-gated
+    // (StreamingSpec), and every component is oracle-gated elsewhere.
+    "stream_kg_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val runDir = java.nio.file.Files
+        .createTempDirectory("graft-kgstream").toString
+      s.sparkContext.setCheckpointDir(s"$runDir/_ck")
+      val all = graft.fixtures.FilesGen.local(1500)
+      val input = MemoryStream[SourceFile](s)
+      val q = graft.streaming.Streaming.kgIngestStream(input.toDS(), runDir,
+        graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
+      try {
+        input.addData(all.take(1000): _*)
+        q.processAllAvailable()
+        input.addData(all.drop(1000): _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      graft.store.Snapshots.read(s, runDir, "nodes")
+        .select("canonical", "kind", "memberCount")
+    }),
     // the KG extract→link→canonicalize composition with a DuckDB twin:
     // mention surface forms are derived from the documents' word
     // vocabulary with deterministic case/trailing-dot variants (pure
