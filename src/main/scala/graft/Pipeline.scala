@@ -143,6 +143,15 @@ object Pipeline {
     * merge two previously-separate entities, which no edge-append
     * scheme would capture.
     *
+    * Why the relink is global rather than delta-vs-all candidates +
+    * stored old edges: the stop-shingle census is corpus-dependent
+    * (the cap scales with the fuzzy population,
+    * [[graft.link.Linking.Config.stopShingleCap]]), so growing the
+    * corpus changes which shingles block for OLD pairs too — a
+    * candidate-incremental scheme would not be output-equal to a
+    * from-scratch run, just close. Global relink buys exact equality
+    * (spec-gated) for the cost of recomputing narrow tables.
+    *
     * Output equality with a from-scratch run over the full corpus is
     * spec-gated (PipelineSpec): incremental(A) + incremental(B) ≡
     * full(A ∪ B) on nodes, edges, and counts.
