@@ -94,6 +94,16 @@ object Pipeline {
     import spark.implicits._
     val resume = cfg.resume
 
+    // a run dir that has received incremental ingests holds MULTIPLE
+    // extract versions whose union is the corpus; run()'s resume path
+    // reads only the latest (delta-only!) snapshot and would silently
+    // rebuild the downstream graph from the last delta alone. Recovery
+    // of a crashed ingest goes through runIncremental (idempotent per
+    // runId), never through run().
+    require(Snapshots.versions(runDir, "extract").length <= 1,
+      s"$runDir has incremental extract versions — resume a crashed " +
+        "ingest with runIncremental (same runId), or start a fresh runDir")
+
     // Stage 1 — extraction. repartitionByRange(repo, path) gives
     // deterministic per-partition lineage and co-locates each repo's
     // files (north star verbatim).
@@ -163,16 +173,25 @@ object Pipeline {
     require(Snapshots.isComplete(runDir, "extract"),
       s"no completed prior run in $runDir — use Pipeline.run for the first ingest")
 
-    // delta-only extract, forced new version (resume would skip it)
-    Snapshots.stage(spark, runDir, "extract", runId, resume = false,
-      partitionBy = Seq("q")) {
-      val arranged = newFiles.repartitionByRange(
-        cfg.arrangePartitions.getOrElse(
-          newFiles.sparkSession.sparkContext.defaultParallelism),
-        $"repo", $"path")
-      Extraction.extract(arranged, cfg.extraction).toDF()
-        .withColumn("q", $"pred" === lit(Extraction.QuarantinePred))
-        .drop("subj")
+    // delta-only extract, as a new snapshot version — UNLESS a version
+    // with this runId already exists: a retry after a crash during the
+    // downstream stages must not append the same delta twice (the
+    // union below would double-count its triples). Idempotence key =
+    // the caller's runId, same contract as Streaming.ingestBatch.
+    val alreadyExtracted = Snapshots.versions(runDir, "extract")
+      .exists(v => Snapshots.readManifestVersion(runDir, "extract", v)
+        .runId == runId)
+    if (!alreadyExtracted) {
+      Snapshots.stage(spark, runDir, "extract", runId, resume = false,
+        partitionBy = Seq("q")) {
+        val arranged = newFiles.repartitionByRange(
+          cfg.arrangePartitions.getOrElse(
+            newFiles.sparkSession.sparkContext.defaultParallelism),
+          $"repo", $"path")
+        Extraction.extract(arranged, cfg.extraction).toDF()
+          .withColumn("q", $"pred" === lit(Extraction.QuarantinePred))
+          .drop("subj")
+      }
     }
 
     // full triple set = union of every ingest's extract snapshot

@@ -310,9 +310,10 @@ object FilesGen {
     import spark.implicits._
     val p = if (partitions > 0) partitions
             else spark.sparkContext.defaultParallelism
-    // `start` slices the same deterministic universe (row i is a pure
-    // function of (i, seed)), so [0,k) ∪ [k,n) == [0,n) exactly — the
-    // incremental-ingest bench's delta corpus
-    spark.range(start, n, 1L, p).map(i => row(i, seed, richness))
+    // `n` is ALWAYS the row count; `start` offsets into the same
+    // deterministic universe (row i is a pure function of (i, seed)),
+    // so dataset(k) ∪ dataset(n-k, start=k) == dataset(n) exactly —
+    // the incremental-ingest bench's delta corpus
+    spark.range(start, start + n, 1L, p).map(i => row(i, seed, richness))
   }
 }

@@ -318,7 +318,11 @@ object Linking {
       .select(col("pred"), col("entityId"), col("shingles"))
     cfg.scratchDir match {
       case Some(dir) =>
-        val path = s"$dir/shingled"
+        // unique subdir per link run: the write is EAGER but the
+        // returned frame reads lazily, so two linkEdges calls sharing
+        // one scratchDir would otherwise let the second write clobber
+        // the table the first call's (unconsumed) result still reads
+        val path = s"$dir/shingled-${java.util.UUID.randomUUID()}"
         sh.write.mode("overwrite").parquet(path)
         ents.sparkSession.read.parquet(path)
       case None => sh

@@ -167,20 +167,29 @@ object Curation {
         partitionBy, params)(compute)
     }
 
-    val clean = stage("cur_clean", Map(
+    // common params every stage's output depends on: the eval-set
+    // predicate (its Column expression string — a changed benchFilter
+    // changes BOTH the corpus and the decontamination reference) and
+    // the column bindings. Omitting these from the fingerprint was
+    // the stale-config hole the guard exists to close.
+    val common = Map(
+      "benchFilter" -> benchFilter.toString,
+      "id" -> id, "text" -> text, "strata" -> strata)
+
+    val clean = stage("cur_clean", common ++ Map(
       "maxTopWordFrac" -> maxTopWordFrac.toString,
       "maxDup2GramFrac" -> maxDup2GramFrac.toString)) {
       cleanStage(docs.filter(!benchFilter),
         maxTopWordFrac, maxDup2GramFrac, id, text, strata)
     }
-    val decon = stage("cur_decon", Map(
+    val decon = stage("cur_decon", common ++ Map(
       "contamN" -> contamN.toString,
       "contamMinOverlap" -> contamMinOverlap.toString)) {
       deconStage(clean, docs.filter(benchFilter),
         contamN, contamMinOverlap, id, text)
         .select(col(id), col(strata), col("n_tokens"))
     }
-    stage("cur_packed", Map(
+    stage("cur_packed", common ++ Map(
       "rates" -> rates.toSeq.sorted.mkString(";"),
       "defaultRate" -> defaultRate.toString,
       "splits" -> splits.mkString(";"),

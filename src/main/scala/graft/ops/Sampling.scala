@@ -92,6 +92,13 @@ object Sampling {
     * repartitionByRange + sort-within-partitions shape at cluster
     * scale. The running sum is the only state and it is Spark's own
     * window aggregate (partial buffers, spillable).
+    *
+    * DETERMINISM PRECONDITION: `orderCol` must be unique within each
+    * group (a document id, not a timestamp with duplicates) — rows
+    * tied on the order column are summed in partition-internal
+    * arrival order, which would make offsets/bins vary across
+    * re-runs and partitionings, forfeiting this module's
+    * stable-across-re-runs contract.
     */
   def packSequences(df: DataFrame, groupCol: Column, orderCol: Column,
                     tokensCol: Column, budget: Long): DataFrame = {

@@ -123,9 +123,15 @@ object Streaming {
     import graft.store.Snapshots
     val runId = s"batch-$batchId"
     val prior = Snapshots.isComplete(runDir, "extract")
-    val applied = prior && Snapshots.versions(runDir, "extract")
-      .exists(v => Snapshots.readManifestVersion(runDir, "extract", v)
-        .runId == runId)
+    // "applied" means applied THROUGH THE LAST STAGE: a crash between
+    // the extract publish and the edges publish must leave the batch
+    // re-appliable, or the replayed batch would no-op against a graph
+    // that never linked its triples. runIncremental is idempotent on
+    // the extract side (it skips a delta version this runId already
+    // published), so the replay redoes only the downstream stages.
+    val applied = prior &&
+      Snapshots.isComplete(runDir, "edges") &&
+      Snapshots.readManifest(runDir, "edges").runId == runId
     if (applied) false
     else {
       if (prior)

@@ -33,14 +33,14 @@ object IncrementalBench {
     val base = java.nio.file.Files.createTempDirectory("graft-inc").toString
     val richness = sys.env.getOrElse("SPARK_GRAFT_RICHNESS", "8").toInt
     // corpora materialized first (table-on-storage input; prep untimed)
-    def mat(tag: String, from: Long, until: Long): String = {
+    def mat(tag: String, start: Long, count: Long): String = {
       val dir = s"$base/files_$tag"
-      FilesGen.dataset(spark, until, richness = richness, start = from)
+      FilesGen.dataset(spark, count, richness = richness, start = start)
         .write.mode("overwrite").parquet(dir)
       dir
     }
     val baseDir = mat("base", 0L, n)
-    val deltaDir = mat("delta", n, n + m)
+    val deltaDir = mat("delta", n, m)
     val fullDir = mat("full", 0L, n + m)
     def rd(dir: String) = spark.read.parquet(dir).as[graft.SourceFile]
 

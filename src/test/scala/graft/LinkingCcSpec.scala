@@ -72,8 +72,11 @@ class LinkingCcSpec extends SparkSpec {
     assert(viaScratch == viaRecompute,
       s"missing=${(viaRecompute -- viaScratch).take(3)} " +
         s"extra=${(viaScratch -- viaRecompute).take(3)}")
-    assert(new java.io.File(s"$dir/shingled").exists,
-      "scratchDir must actually be used")
+    // materialization lands in a unique per-call subdir (two calls
+    // sharing a scratchDir must not clobber each other's table)
+    val subdirs = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("shingled-"))
+    assert(subdirs.nonEmpty, "scratchDir must actually be used")
   }
 
   test("distinct entities stay separate") {

@@ -121,6 +121,25 @@ class PipelineSpec extends SparkSpec {
       Pipeline.runIncremental(spark, b.toDS(), tmpDir("inc-empty"), "x")
     }
     assert(ex.getMessage.contains("first ingest"), ex.getMessage)
+
+    // crash-retry idempotence: simulate a crash AFTER the delta
+    // extract published but BEFORE edges completed, then retry the
+    // SAME ingest — the delta extract must NOT be appended twice
+    // (union would double-count its triples), and the repaired graph
+    // still equals the from-scratch run
+    Files.delete(Path.of(Snapshots.stageDir(inc, "edges"), "_MANIFEST.json"))
+    val rRetry = Pipeline.runIncremental(spark, b.toDS(), inc, "run-delta")
+    assert(Snapshots.versions(inc, "extract") == Seq(1, 2),
+      "retry must not append a duplicate delta extract version")
+    assert(rRetry.copy(runId = "x") == rFull.copy(runId = "x"))
+    assert(edgeSet(inc) == edgeSet(full))
+
+    // run() refuses a dir with incremental extract versions — its
+    // resume path reads only the latest (delta-only) snapshot
+    val ex2 = intercept[IllegalArgumentException] {
+      Pipeline.run(spark, all.toDS(), inc, "run-wrong")
+    }
+    assert(ex2.getMessage.contains("runIncremental"), ex2.getMessage)
   }
 
   test("re-run with resume is a no-op yielding identical results") {

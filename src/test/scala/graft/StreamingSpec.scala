@@ -186,5 +186,16 @@ class StreamingSpec extends SparkSpec {
     assert(!applied)
     assert(Snapshots.versions(runDir, "extract") == Seq(1, 2))
     assert(nodes(runDir) == nodes(full))
+
+    // partial-crash repair: extract published but downstream died —
+    // the replayed batch must RE-APPLY (downstream only; the delta
+    // extract is not duplicated) instead of no-op'ing against a graph
+    // that never linked its triples
+    java.nio.file.Files.delete(java.nio.file.Path.of(
+      Snapshots.stageDir(runDir, "edges"), "_MANIFEST.json"))
+    val reapplied = Streaming.ingestBatch(b.toDS(), batchId = 1L, runDir)
+    assert(reapplied, "batch with incomplete downstream must re-apply")
+    assert(Snapshots.versions(runDir, "extract") == Seq(1, 2))
+    assert(nodes(runDir) == nodes(full))
   }
 }
