@@ -226,18 +226,28 @@ object Pipeline {
     // against live extraction lineage, which would re-run the content
     // scan. It lives INSIDE the stage block so a resumed run (stage
     // manifest already present) never pays the probe job.
-    val links = Snapshots.stage(spark, runDir, "link_edges", runId, resume) {
-      val fuzzyNonEmpty =
-        !ents.filter(col("pred").isin(Linking.FuzzyPreds: _*)).isEmpty
-      // shared shingle table materialized once under the run dir (read
-      // 4x by the link plans; see Linking.sharedShingles) unless the
-      // caller already chose a scratch location
-      val linkCfg =
-        if (cfg.link.scratchDir.isDefined) cfg.link
-        else cfg.link.copy(scratchDir = Some(s"$runDir/_scratch/link_edges"))
-      Linking.linkEdges(ents, linkCfg, Some(fuzzyNonEmpty),
-        sizeHint = Some(Snapshots.readManifest(runDir, "entities").rows))
-    }
+    // the shingle scratch table only lives for the duration of the
+    // stage compute (the stage snapshot is durable before we return),
+    // so the run-owned scratch dir is deleted afterwards — a
+    // long-running ingest loop (kgIngestStream, repeated
+    // runIncremental) would otherwise leak one corpus-sized parquet
+    // table per ingest. Caller-supplied scratch dirs are caller-owned.
+    val ownScratch = cfg.link.scratchDir.isEmpty
+    val scratch = s"$runDir/_scratch/link_edges"
+    val links = try {
+      Snapshots.stage(spark, runDir, "link_edges", runId, resume) {
+        val fuzzyNonEmpty =
+          !ents.filter(col("pred").isin(Linking.FuzzyPreds: _*)).isEmpty
+        // shared shingle table materialized once under the run dir
+        // (read 4x by the link plans; see Linking.sharedShingles)
+        // unless the caller already chose a scratch location
+        val linkCfg =
+          if (cfg.link.scratchDir.isDefined) cfg.link
+          else cfg.link.copy(scratchDir = Some(scratch))
+        Linking.linkEdges(ents, linkCfg, Some(fuzzyNonEmpty),
+          sizeHint = Some(Snapshots.readManifest(runDir, "entities").rows))
+      }
+    } finally if (ownScratch) Snapshots.deleteDir(scratch)
 
     // Stage 3 — connected components → canonical id per entity.
     // Singleton entities (no link edge) canonicalize to themselves.

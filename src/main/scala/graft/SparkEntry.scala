@@ -74,6 +74,30 @@ object SparkEntry {
   private def withStagedEvents[T](dir: String, copies: Int = 1)(f: String => T): T =
     withStagedTable(dir, "events", copies)(f)
 
+  /** FIXED per-query scratch dir, cleared at the start of each
+    * invocation: a long-lived session re-running these queries (the
+    * bench runs each twice) must not leak one temp dir per rep. The
+    * returned DataFrames read the dir lazily, so cleanup happens at
+    * the NEXT invocation, after the previous result was consumed.
+    */
+  private def freshScratch(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), s"graft-q-$tag")
+    graft.store.Snapshots.deleteDir(p.toString)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** Run `f` with the session checkpoint dir pointed at `dir`, then
+    * RESTORE the previous checkpoint dir — a query must not mutate
+    * session-global state for whatever runs after it.
+    */
+  private def withCheckpointDir[T](s: SparkSession, dir: String)(f: => T): T = {
+    val prev = s.sparkContext.getCheckpointDir
+    s.sparkContext.setCheckpointDir(dir)
+    try f finally prev.foreach(s.sparkContext.setCheckpointDir)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / scans (SURVEY §2.1) ----
     "scan_whitelist" -> ((s, dir) => {
@@ -439,8 +463,7 @@ object SparkEntry {
         .select(col("embedding")).head().getSeq[Float](0).map(_.toDouble)
       val cents = Array.tabulate(16)(j =>
         Array.tabulate(q.length)(i => if (i == j) 1.0 else 0.0))
-      val idx = java.nio.file.Files.createTempDirectory("graft-ivf-idx")
-        .toString
+      val idx = freshScratch("ivf-idx")
       Similarity.ivfWriteIndex(Similarity.ivfAssign(embs, cents), idx)
       val out = Similarity.ivfTopKStored(s, idx, cents, q, 10, nProbe = 4)
       val plan = out.queryExecution.executedPlan.toString
@@ -530,16 +553,16 @@ object SparkEntry {
     }),
     // ---- the KG pipeline itself, end to end, as a query ----
     "kg_pipeline_nodes" -> ((s, dir) => {
-      val runDir = java.nio.file.Files
-        .createTempDirectory("graft-kgq").toString
-      s.sparkContext.setCheckpointDir(s"$runDir/_ck")
+      val runDir = freshScratch("kgq")
       // 2k-file smoke corpus: size the extract stage to the data
       // (4 tasks ≈ 500 files each) instead of defaultParallelism —
       // at this n the pipeline cost is otherwise pure task/file
       // overhead (near-empty tasks × pred partition dirs)
-      graft.Pipeline.run(s, graft.fixtures.FilesGen.dataset(s, 2000L),
-        runDir, "kgq",
-        graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
+      withCheckpointDir(s, s"$runDir/_ck") {
+        graft.Pipeline.run(s, graft.fixtures.FilesGen.dataset(s, 2000L),
+          runDir, "kgq",
+          graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
+      }
       graft.store.Snapshots.read(s, runDir, "nodes")
         .select("canonical", "kind", "memberCount")
     }),
@@ -554,19 +577,19 @@ object SparkEntry {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sp: SparkSession = s
       import sp.implicits._
-      val runDir = java.nio.file.Files
-        .createTempDirectory("graft-kgstream").toString
-      s.sparkContext.setCheckpointDir(s"$runDir/_ck")
+      val runDir = freshScratch("kgstream")
       val all = graft.fixtures.FilesGen.local(1500)
       val input = MemoryStream[SourceFile](s)
-      val q = graft.streaming.Streaming.kgIngestStream(input.toDS(), runDir,
-        graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
-      try {
-        input.addData(all.take(1000): _*)
-        q.processAllAvailable()
-        input.addData(all.drop(1000): _*)
-        q.processAllAvailable()
-      } finally q.stop()
+      withCheckpointDir(s, s"$runDir/_ck") {
+        val q = graft.streaming.Streaming.kgIngestStream(input.toDS(), runDir,
+          graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
+        try {
+          input.addData(all.take(1000): _*)
+          q.processAllAvailable()
+          input.addData(all.drop(1000): _*)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       graft.store.Snapshots.read(s, runDir, "nodes")
         .select("canonical", "kind", "memberCount")
     }),

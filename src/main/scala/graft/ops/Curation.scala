@@ -22,8 +22,10 @@ import org.apache.spark.sql.functions._
   * (2) shuffle-free codegen'd array exprs; (3) eval n-grams broadcast,
   * the flagged-id set is tiny so the anti-join broadcasts too — the
   * corpus is never shuffled on text; (4)+(5) shuffle-free md5
-  * thresholds; (6) one range-shaped window shuffle on (split, stratum,
-  * order). Every stage is deterministic (hash decisions, not rand()),
+  * thresholds; (6) one range shuffle on (split, stratum, order) plus
+  * the two-phase distributed prefix sum ([[Sampling.packSequences]] —
+  * parallelism = partition count, never #groups). Every stage is
+  * deterministic (hash decisions, not rand()),
   * so a re-run — or an incremental ingest that re-curates a grown
   * corpus — reproduces the survivors bit-identically.
   */
@@ -126,9 +128,10 @@ object Curation {
     * a re-run with `resume = true` replays completed stages from
     * storage (a killed run resumes mid-chain; every stage decision is
     * hash-deterministic, so resumed and fresh runs are
-    * bit-identical). The `cur_decon` snapshot drops `text`: the pack
-    * stage needs only (id, stratum, n_tokens), so the final stage's
-    * scan never touches document bodies.
+    * bit-identical). NO stage snapshot materializes document text:
+    * cur_clean and cur_decon carry only (id, stratum, n_tokens) —
+    * downstream stages never touch document bodies, and the run's
+    * write volume is rows × ~24 bytes instead of the corpus size.
     */
   def run(spark: org.apache.spark.sql.SparkSession,
           docs: DataFrame, runDir: String, runId: String,
@@ -176,18 +179,29 @@ object Curation {
       "benchFilter" -> benchFilter.toString,
       "id" -> id, "text" -> text, "strata" -> strata)
 
+    // the cur_clean snapshot does NOT materialize document text — at
+    // 100 TB that would be a corpus-sized parquet write per curation
+    // run. Only (id, stratum, n_tokens) is snapshotted; the decon
+    // stage re-derives its flagged set from the SOURCE table instead
+    // (contamination is a per-doc decision against the broadcast eval
+    // n-grams, so flagging the un-cleaned corpus and anti-joining the
+    // clean survivors yields exactly the same rows as flagging the
+    // survivors themselves — no text ever joins or shuffles).
     val clean = stage("cur_clean", common ++ Map(
       "maxTopWordFrac" -> maxTopWordFrac.toString,
       "maxDup2GramFrac" -> maxDup2GramFrac.toString)) {
       cleanStage(docs.filter(!benchFilter),
         maxTopWordFrac, maxDup2GramFrac, id, text, strata)
+        .select(col(id), col(strata), col("n_tokens"))
     }
     val decon = stage("cur_decon", common ++ Map(
       "contamN" -> contamN.toString,
       "contamMinOverlap" -> contamMinOverlap.toString)) {
-      deconStage(clean, docs.filter(benchFilter),
-        contamN, contamMinOverlap, id, text)
-        .select(col(id), col(strata), col("n_tokens"))
+      val flagged = Dedup.contaminated(docs.filter(!benchFilter),
+        docs.filter(benchFilter), n = contamN,
+        minOverlap = contamMinOverlap, id = id, text = text)
+        .select(col(id))
+      clean.join(flagged, Seq(id), "left_anti")
     }
     stage("cur_packed", common ++ Map(
       "rates" -> rates.toSeq.sorted.mkString(";"),

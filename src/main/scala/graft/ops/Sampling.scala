@@ -88,10 +88,37 @@ object Sampling {
     * first/last context-window bin it lands in (documents may straddle
     * a cut — that is the concat-packing contract; no padding waste).
     *
-    * One shuffle: a window over (group, order) — exactly the
-    * repartitionByRange + sort-within-partitions shape at cluster
-    * scale. The running sum is the only state and it is Spark's own
-    * window aggregate (partial buffers, spillable).
+    * TWO-PHASE DISTRIBUTED PREFIX SUM (the zipWithIndex shape). A
+    * `Window.partitionBy(group).orderBy(order)` running sum would put
+    * every row of a group through ONE task — with a handful of
+    * (split, stratum) groups that is a handful of reducers for the
+    * whole corpus, wall ≈ corpus/#groups single-threaded no matter the
+    * cluster size. Instead:
+    *
+    *   1. repartitionByRange(group, order) + sortWithinPartitions —
+    *      ONE shuffle; each partition holds a contiguous slice of the
+    *      global (group, order) order, parallelism = partition count;
+    *   2. per-(partition, group) token totals, collected to the driver
+    *      — tiny by construction: groups are contiguous within a
+    *      range partition, so ≤ #partitions + #groups − 1 entries;
+    *   3. exclusive cumulative offsets per (partition, group) computed
+    *      on the driver, broadcast back;
+    *   4. a second pass over the SAME shuffled partitions adds
+    *      offset + local running sum.
+    *
+    * Both passes run over one RDD instance, so the range bounds are
+    * sampled once and the shuffle map stage is computed once (pass 2
+    * reuses the registered map outputs — the standard same-RDD
+    * multi-job contract zipWithIndex relies on). Offsets therefore
+    * cannot disagree between passes even though range-boundary
+    * sampling is itself nondeterministic across executions; and the
+    * OUTPUT is boundary-independent anyway, because (group, order) is
+    * a strict total order under the uniqueness precondition below.
+    *
+    * Zero-token rows occupy no stream positions: start_tok is the
+    * usual exclusive prefix and last_bin is clamped to first_bin (the
+    * row "sits at" its boundary). A null token count reads as 0; a
+    * negative one fails the job.
     *
     * DETERMINISM PRECONDITION: `orderCol` must be unique within each
     * group (a document id, not a timestamp with duplicates) — rows
@@ -103,13 +130,83 @@ object Sampling {
   def packSequences(df: DataFrame, groupCol: Column, orderCol: Column,
                     tokensCol: Column, budget: Long): DataFrame = {
     require(budget >= 1, s"budget must be >= 1, got $budget")
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(groupCol).orderBy(orderCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val start = coalesce(sum(tokensCol).over(w), lit(0L))
-    df.withColumn("start_tok", start)
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.LongType
+
+    val grpC = "__pack_grp"; val ordC = "__pack_ord"; val tokC = "__pack_tok"
+    val ranged = df
+      .withColumn(grpC, groupCol)
+      .withColumn(ordC, orderCol)
+      .withColumn(tokC, tokensCol.cast("long"))
+      .repartitionByRange(col(grpC), col(ordC))
+      .sortWithinPartitions(col(grpC), col(ordC))
+    // .rdd pins ONE physical execution (bounds sampled once, shuffle
+    // written once); both jobs below run over this instance
+    val rdd = ranged.rdd
+    val schema = ranged.schema
+    val gi = schema.fieldIndex(grpC)
+    val ti = schema.fieldIndex(tokC)
+    def tokOf(r: Row): Long =
+      if (r.isNullAt(ti)) 0L
+      else {
+        val t = r.getLong(ti)
+        require(t >= 0L, s"packSequences: negative token count $t")
+        t
+      }
+
+    // pass 1 — per-(partition, group) token totals, in group-run order
+    // (groups are contiguous within a sorted range partition)
+    val partTotals: Array[Array[(Any, Long)]] =
+      rdd.mapPartitionsWithIndex { (_, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Any, Long)]
+        var cur: Any = null; var open = false; var sum = 0L
+        it.foreach { r =>
+          val g = r.get(gi)
+          if (!open || g != cur) {
+            if (open) out += ((cur, sum))
+            cur = g; open = true; sum = 0L
+          }
+          sum += tokOf(r)
+        }
+        if (open) out += ((cur, sum))
+        Iterator.single(out.toArray)
+      }.collect()
+
+    // driver — exclusive cumulative offset of each group at each
+    // partition's start (scan partitions in range order)
+    val running = scala.collection.mutable.HashMap.empty[Any, Long]
+    val offsets: Array[Map[Any, Long]] = partTotals.map { totals =>
+      val off = totals.map { case (g, _) =>
+        g -> running.getOrElse(g, 0L)
+      }.toMap
+      totals.foreach { case (g, s) =>
+        running(g) = running.getOrElse(g, 0L) + s
+      }
+      off
+    }
+    val bc = spark.sparkContext.broadcast(offsets)
+
+    // pass 2 — same partitions (map outputs reused): offset + local
+    // running sum = the global exclusive prefix
+    val withStart = rdd.mapPartitionsWithIndex { (pid, it) =>
+      val off = bc.value(pid)
+      var cur: Any = null; var open = false; var run = 0L
+      it.map { r =>
+        val g = r.get(gi)
+        if (!open || g != cur) {
+          cur = g; open = true; run = off.getOrElse(g, 0L)
+        }
+        val start = run
+        run += tokOf(r)
+        Row.fromSeq(r.toSeq :+ start)
+      }
+    }
+    spark.createDataFrame(withStart, schema.add("start_tok", LongType,
+        nullable = false))
       .withColumn("first_bin", floor(col("start_tok") / budget))
-      .withColumn("last_bin",
-        floor((col("start_tok") + tokensCol - 1) / budget))
+      .withColumn("last_bin", greatest(col("first_bin"),
+        floor((col("start_tok") + col(tokC) - 1) / budget)))
+      .drop(grpC, ordC, tokC)
   }
 }

@@ -80,8 +80,28 @@ object Snapshots {
     spark.read.parquet(dataDir(runDir, stage, m))
   }
 
-  /** All published versions of a stage, ascending. */
+  /** All PUBLISHED versions of a stage, ascending. Published = the
+    * live pointer (_MANIFEST.json, always written LAST) has reached
+    * at least that version. A crashed publish leaves a versioned
+    * manifest NEWER than the live pointer — that snapshot was never
+    * visible to any reader and must stay invisible here too:
+    * runIncremental unions versions() and resultFrom sums them, so an
+    * orphan counted once would double-count its delta after the retry
+    * republishes it under the same version number.
+    */
   def versions(runDir: String, stage: String): Seq[Int] = {
+    val live = liveVersion(runDir, stage)
+    manifestVersions(runDir, stage).filter(_ <= live)
+  }
+
+  /** Version the live pointer references (0 = none published). */
+  private def liveVersion(runDir: String, stage: String): Int =
+    if (isComplete(runDir, stage))
+      readManifest(runDir, stage).version.getOrElse(0)
+    else 0
+
+  /** Every versioned manifest ON DISK, published or orphaned. */
+  private def manifestVersions(runDir: String, stage: String): Seq[Int] = {
     val dir = Paths.get(stageDir(runDir, stage))
     if (!Files.exists(dir)) return Nil
     val s = Files.list(dir)
@@ -99,15 +119,20 @@ object Snapshots {
     val current = readManifest(runDir, stage).version
     require(!current.contains(version),
       s"cannot expire the current snapshot v$version of $stage")
-    val snap = Paths.get(snapshotDir(runDir, stage, version))
-    if (Files.exists(snap)) {
-      val w = Files.walk(snap)
+    deleteDir(snapshotDir(runDir, stage, version))
+    Files.deleteIfExists(
+      Paths.get(stageDir(runDir, stage), versionedManifestName(version)))
+  }
+
+  /** Recursive delete (no-op when absent). */
+  private[graft] def deleteDir(path: String): Unit = {
+    val dir = Paths.get(path)
+    if (Files.exists(dir)) {
+      val w = Files.walk(dir)
       try w.iterator().asScalaIterator().toVector.reverseIterator
         .foreach(Files.deleteIfExists(_))
       finally w.close()
     }
-    Files.deleteIfExists(
-      Paths.get(stageDir(runDir, stage), versionedManifestName(version)))
   }
 
   private val VersionedManifestRe = """_MANIFEST\.v(\d+)\.json""".r
@@ -117,9 +142,14 @@ object Snapshots {
     parseManifest(Paths.get(stageDir(runDir, stage), ManifestName))
 
   def readManifestVersion(runDir: String, stage: String,
-                          version: Int): Manifest =
+                          version: Int): Manifest = {
+    // refuse orphans of a crashed publish (manifest on disk but the
+    // live pointer never reached it): unpublished data is unreadable
+    require(version <= liveVersion(runDir, stage),
+      s"snapshot v$version of $stage was never published")
     parseManifest(
       Paths.get(stageDir(runDir, stage), versionedManifestName(version)))
+  }
 
   private def parseManifest(p: Path): Manifest = {
     import org.json4s._
@@ -138,11 +168,14 @@ object Snapshots {
     * snap=<v>/, the versioned manifest _MANIFEST.v<v>.json is written
     * next, and the live pointer _MANIFEST.json is renamed into place
     * LAST — readers either see the previous complete snapshot or the
-    * new one, never a partial. A crashed publish leaves an
-    * unreferenced snap dir that the next attempt (same version number
-    * — versions() only counts published manifests) overwrites.
-    * Historical versions stay queryable via readVersion until
-    * expire()d.
+    * new one, never a partial. A publish that crashed between the
+    * versioned manifest and the live pointer left an ORPHAN (manifest
+    * + data, never visible to any reader); the next compute DELETES
+    * every orphan above the live pointer and republishes as
+    * live + 1 — so a crashed publish is truly invisible: versions()
+    * never lists it, and the retry cannot double-count it next to its
+    * own replacement. Historical published versions stay queryable
+    * via readVersion until expire()d.
     */
   def stage(spark: SparkSession, runDir: String, stageName: String,
             runId: String, resume: Boolean = true,
@@ -152,7 +185,13 @@ object Snapshots {
     if (resume && isComplete(runDir, stageName))
       return read(spark, runDir, stageName)
 
-    val version = versions(runDir, stageName).lastOption.getOrElse(0) + 1
+    val live = liveVersion(runDir, stageName)
+    manifestVersions(runDir, stageName).filter(_ > live).foreach { v =>
+      Files.deleteIfExists(
+        Paths.get(stageDir(runDir, stageName), versionedManifestName(v)))
+      deleteDir(snapshotDir(runDir, stageName, v))
+    }
+    val version = live + 1
     val dir = snapshotDir(runDir, stageName, version)
     val t0 = System.nanoTime()
     val df = compute

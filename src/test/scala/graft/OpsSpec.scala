@@ -474,6 +474,9 @@ class OpsSpec extends SparkSpec {
       val m = Snapshots.readManifest(dir, st)
       assert(m.runId == "r1", s"$st recomputed: ${m.runId}")
       assert(m.rows > 0 && m.fileRows.values.sum == m.rows)
+      // no stage snapshot materializes document text — at 100 TB that
+      // is a corpus-sized parquet write per curation run
+      assert(!Snapshots.read(spark, dir, st).columns.contains("text"), st)
     }
     // a killed run that lost its LAST stage resumes mid-chain: only
     // cur_packed recomputes
@@ -555,6 +558,40 @@ class OpsSpec extends SparkSpec {
     }
     // docs straddling a cut exist at this budget (the concat contract)
     assert(got.exists(r => r._5 != r._6))
+  }
+
+  test("packSequences: ONE group spreads over many tasks; no per-group window; zero-token clamp") {
+    import graft.ops.Sampling
+    // AQE would coalesce this tiny shuffle to one partition by size —
+    // disable coalescing so the parallelism assertion sees the
+    // partitioning SHAPE (at real scale size-based coalescing is
+    // exactly right)
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, "false")
+    try {
+      val df = spark.range(0, 10000).select($"id", lit("g").as("grp"),
+        ($"id" % 7 + 1).as("n_tokens"))
+      val out = Sampling.packSequences(df, $"grp", $"id", $"n_tokens", 100L)
+      // parallelism = range-partition count, not #groups: the single
+      // group's rows ride every partition (the old
+      // Window.partitionBy(grp) plan put them all through ONE task)
+      assert(out.rdd.getNumPartitions > 1)
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), plan.take(2000))
+      // closed form for tokens = id%7 + 1 in id order:
+      // start(id) = 28*(id div 7) + ((id%7)(id%7+1)) div 2
+      val bad = out.filter($"start_tok" =!=
+        expr("28 * (id div 7) + ((id % 7) * (id % 7 + 1)) div 2")).count()
+      assert(bad == 0L)
+    } finally spark.conf.set(key, prev)
+    // zero-token rows occupy no positions; last_bin clamps to first_bin
+    val z = Sampling.packSequences(
+        Seq((1L, "g", 5L), (2L, "g", 0L), (3L, "g", 7L)).toDF("id", "grp", "n"),
+        $"grp", $"id", $"n", 4L)
+      .select($"id", $"start_tok", $"first_bin", $"last_bin")
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(z == Seq((1L, 0L, 0L, 1L), (2L, 5L, 1L, 1L), (3L, 5L, 1L, 2L)))
   }
 
   test("repetitionScore matches brute force; shuffle-free codegen plan") {

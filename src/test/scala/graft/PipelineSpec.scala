@@ -42,6 +42,47 @@ class PipelineSpec extends SparkSpec {
     deleteRec(Path.of(dir))
   }
 
+  test("a publish crashed between versioned manifest and live pointer is invisible and replaced") {
+    val dir = tmpDir("crashwin")
+    def publish(xs: Seq[Long]): Unit =
+      Snapshots.stage(spark, dir, "demo", "cw", resume = false) {
+        xs.toDF("x")
+      }
+
+    // crash window on the FIRST publish: versioned manifest written,
+    // live pointer never moved (the retried run must recompute as v1,
+    // not v2 — otherwise versions() lists a snapshot isComplete()
+    // denies and incremental consumers double-count the base corpus)
+    publish(Seq(1L, 2L, 3L))
+    Files.delete(Path.of(Snapshots.stageDir(dir, "demo"), "_MANIFEST.json"))
+    assert(!Snapshots.isComplete(dir, "demo"))
+    assert(Snapshots.versions(dir, "demo") == Nil)
+    intercept[Exception](Snapshots.readManifestVersion(dir, "demo", 1))
+    // retry (resume=true takes the compute path — no live manifest)
+    Snapshots.stage(spark, dir, "demo", "cw-retry") { Seq(7L, 8L).toDF("x") }
+    assert(Snapshots.versions(dir, "demo") == Seq(1))
+    assert(Snapshots.read(spark, dir, "demo")
+      .as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+
+    // crash window on a LATER publish: v2 manifest lands, live stays
+    // at v1 — v2 is an orphan, invisible everywhere, and the next
+    // compute replaces it under the same version number
+    val liveBak = Files.readString(
+      Path.of(Snapshots.stageDir(dir, "demo"), "_MANIFEST.json"))
+    publish(Seq(100L))
+    Files.writeString(
+      Path.of(Snapshots.stageDir(dir, "demo"), "_MANIFEST.json"), liveBak)
+    assert(Snapshots.versions(dir, "demo") == Seq(1))
+    intercept[Exception](Snapshots.readVersion(spark, dir, "demo", 2))
+    publish(Seq(200L, 201L))
+    assert(Snapshots.versions(dir, "demo") == Seq(1, 2))
+    assert(Snapshots.read(spark, dir, "demo")
+      .as[Long].collect().sorted.toSeq == Seq(200L, 201L))
+    assert(Snapshots.readVersion(spark, dir, "demo", 1)
+      .as[Long].collect().sorted.toSeq == Seq(7L, 8L))
+    deleteRec(Path.of(dir))
+  }
+
   private def edgeSet(runDir: String): Set[(String, String, Long)] =
     Snapshots.read(spark, runDir, "edges")
       .select("subj", "pred", "canonicalId")
