@@ -173,11 +173,38 @@ object Pipeline {
     require(Snapshots.isComplete(runDir, "extract"),
       s"no completed prior run in $runDir — use Pipeline.run for the first ingest")
 
-    // delta-only extract, as a new snapshot version — UNLESS a version
-    // with this runId already exists: a retry after a crash during the
-    // downstream stages must not append the same delta twice (the
-    // union below would double-count its triples). Idempotence key =
-    // the caller's runId, same contract as Streaming.ingestBatch.
+    extractDeltaOnce(spark, newFiles, runDir, runId, cfg)
+
+    // a global relink is an EPOCH BUMP: any pinned epoch state derives
+    // from the pre-ingest corpus and is stale the moment entities /
+    // link_edges are globally recomputed — drop it so a later
+    // runIncrementalPinned fails fast until pinEpoch re-freezes
+    Seq("ep_census", "ep_keys", "ep_shingles")
+      .foreach(st => Snapshots.deleteDir(Snapshots.stageDir(runDir, st)))
+
+    // full triple set = union of every ingest's extract snapshot
+    val allRaw = Snapshots.versions(runDir, "extract")
+      .map(v => Snapshots.readVersion(spark, runDir, "extract", v))
+      .reduce(_ unionByName _)
+      .withColumn("subj", concat($"repo", lit("/"), $"path"))
+    val triples = allRaw.filter(!$"q".cast("boolean")).drop("q")
+
+    val ccIters = downstream(spark, runDir, runId, cfg, triples,
+      resume = false)
+    resultFrom(runDir, runId, ccIters)
+  }
+
+  /** Delta-only extract as a new snapshot version — UNLESS a version
+    * with this runId already exists: a retry after a crash during the
+    * downstream stages must not append the same delta twice (the
+    * version union would double-count its triples). Idempotence key =
+    * the caller's runId, same contract as Streaming.ingestBatch.
+    */
+  private def extractDeltaOnce(spark: SparkSession,
+                               newFiles: Dataset[SourceFile],
+                               runDir: String, runId: String,
+                               cfg: Config): Unit = {
+    import spark.implicits._
     val alreadyExtracted = Snapshots.versions(runDir, "extract")
       .exists(v => Snapshots.readManifestVersion(runDir, "extract", v)
         .runId == runId)
@@ -192,19 +219,194 @@ object Pipeline {
           .withColumn("q", $"pred" === lit(Extraction.QuarantinePred))
           .drop("subj")
       }
+      (): Unit
+    }
+  }
+
+  // ------------------------------------------------------------------
+  // EPOCH-PINNED incremental linking. runIncremental's global relink
+  // buys exact from-scratch equality at the cost of recomputing the
+  // narrow tables per ingest — at daily ingests over 10^12 files the
+  // relink, not the extract, becomes THE cost (the stop-shingle
+  // census, shingling, banding, and candidate scoring all rescan the
+  // corpus). An EPOCH freezes the census (Linking.Config.pinnedHot)
+  // and stores the shingle + banded-key tables as appendable
+  // snapshots; each ingest then:
+  //   - extracts ONLY the delta (as before),
+  //   - appends the delta's new entity forms / shingles / band keys,
+  //   - links DELTA-vs-ALL under the pinned census (the stored narrow
+  //     tables are broadcast-filtered SCANS — never reshuffled, never
+  //     re-shingled) and appends the new edges,
+  //   - recomputes only CC + the node/edge materialization (narrow).
+  // Contract: the maintained graph equals a from-scratch run UNDER THE
+  // PINNED CENSUS (spec-gated in PipelineSpec); equality to an
+  // unpinned from-scratch run is deliberately NOT promised — the
+  // census is corpus-dependent, which is exactly why runIncremental
+  // relinks globally. Re-pin (epoch bump) by running a global
+  // runIncremental (which drops the epoch state) + pinEpoch when the
+  // corpus has grown enough that the frozen census is stale (rule of
+  // thumb: fuzzy population grew past the pinned cap's headroom,
+  // i.e. ~2× the pinned nFuzzy).
+  // ------------------------------------------------------------------
+
+  /** Freeze the linking environment of the CURRENT global state as an
+    * epoch: the stop-shingle census (ep_census), the shingle table
+    * (ep_shingles), and the banded key table (ep_keys), each a
+    * versioned snapshot under the run dir. Call after Pipeline.run or
+    * a global runIncremental.
+    */
+  def pinEpoch(spark: SparkSession, runDir: String, runId: String,
+               cfg: Config = Config()): Unit = {
+    import spark.implicits._
+    require(Snapshots.isComplete(runDir, "entities"),
+      s"no completed run in $runDir — pinEpoch freezes an existing graph")
+    val fuzzy = lineageUnion(spark, runDir, "entities")
+      .filter(col("pred").isin(Linking.FuzzyPreds: _*))
+    // cap from the entity manifest rows — the SAME n convention the
+    // global link stage uses (sizeHint = entities manifest rows), so
+    // an epoch pinned right after a global run freezes EXACTLY the
+    // census that run linked under (pinned-vs-base coherence; an
+    // upper bound only raises the cap, same contract as linkEdges)
+    val nEnts = lineageVersions(runDir, "entities").map(v =>
+      Snapshots.readManifestVersion(runDir, "entities", v).rows).sum
+    val cap = cfg.link.stopShingleCap(nEnts)
+    val shingled = Snapshots.stage(spark, runDir, "ep_shingles", runId,
+      resume = false, metrics = Map("delta" -> "false")) {
+      Linking.shingleTable(fuzzy, cfg.link)
+    }
+    val hot = Linking.hotShingles(shingled, cap)
+    Snapshots.stage(spark, runDir, "ep_census", runId, resume = false,
+      metrics = Map("cap" -> cap.toString, "nEnts" -> nEnts.toString)) {
+      hot.toDF("pred", "sh")
+    }
+    Snapshots.stage(spark, runDir, "ep_keys", runId, resume = false,
+      metrics = Map("delta" -> "false")) {
+      Linking.bandedKeyTable(shingled, cfg.link, hot)
+    }
+    (): Unit
+  }
+
+  /** The frozen census of the current epoch. */
+  private def pinnedHot(spark: SparkSession,
+                        runDir: String): Seq[(String, Long)] =
+    Snapshots.read(spark, runDir, "ep_census")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Epoch-incremental ingest: delta-only extract AND delta-only
+    * linking under the pinned census (see the block comment above).
+    * Idempotent per runId at every appended stage, like
+    * [[runIncremental]].
+    */
+  def runIncrementalPinned(spark: SparkSession,
+                           newFiles: Dataset[SourceFile],
+                           runDir: String, runId: String,
+                           cfg: Config = Config()): Result = {
+    import spark.implicits._
+    require(Snapshots.isComplete(runDir, "extract"),
+      s"no completed prior run in $runDir — use Pipeline.run for the first ingest")
+    Seq("ep_census", "ep_shingles", "ep_keys").foreach(st =>
+      require(Snapshots.isComplete(runDir, st),
+        s"no pinned epoch in $runDir — run Pipeline.pinEpoch first"))
+
+    // 1. delta-only extract (idempotent per runId)
+    extractDeltaOnce(spark, newFiles, runDir, runId, cfg)
+    val myV = Snapshots.versions(runDir, "extract").find(v =>
+      Snapshots.readManifestVersion(runDir, "extract", v).runId == runId).get
+    val deltaTriples = Snapshots
+      .readVersion(spark, runDir, "extract", myV)
+      .filter(!$"q".cast("boolean")).drop("q")
+
+    // "the world before this ingest": lineage versions excluding any
+    // slice a crashed attempt of THIS runId already appended
+    def oldUnion(stage: String): DataFrame = lineageUnion(spark, runDir,
+      stage, excludeRunId = Some(runId))
+
+    // 2. delta entity forms — distinct forms of the delta not already
+    // in the stored entity table (which is only scanned: the delta's
+    // ids broadcast into the probe, the survivors anti-join a tiny set)
+    val entsOld = oldUnion("entities")
+    val newEnts = appendOnce(spark, runDir, "entities", runId) {
+      val deltaForms = Linking.entitiesOf(deltaTriples)
+      val existing = entsOld
+        .join(broadcast(deltaForms.select("entityId")), Seq("entityId"))
+        .select("entityId").distinct()
+      deltaForms.join(broadcast(existing), Seq("entityId"), "left_anti")
     }
 
-    // full triple set = union of every ingest's extract snapshot
-    val allRaw = Snapshots.versions(runDir, "extract")
+    // 3. delta shingles + band keys under the PINNED census
+    val hot = pinnedHot(spark, runDir)
+    val deltaShingled = appendOnce(spark, runDir, "ep_shingles", runId) {
+      Linking.shingleTable(
+        newEnts.filter(col("pred").isin(Linking.FuzzyPreds: _*)), cfg.link)
+    }
+    val deltaKeys = appendOnce(spark, runDir, "ep_keys", runId) {
+      Linking.bandedKeyTable(deltaShingled, cfg.link, hot)
+    }
+    val deltaKeyRows = Snapshots.versions(runDir, "ep_keys")
+      .flatMap(v => {
+        val m = Snapshots.readManifestVersion(runDir, "ep_keys", v)
+        if (m.runId == runId) Some(m.rows) else None
+      }).sum
+
+    // 4. new edges = delta-vs-all (exact-norm + banded fuzzy), each
+    // pair carrying >=1 delta endpoint — disjoint from stored edges
+    appendOnce(spark, runDir, "link_edges", runId) {
+      val keysAll = lineageUnion(spark, runDir, "ep_keys")
+      val shingledAll = lineageUnion(spark, runDir, "ep_shingles")
+      Linking.deltaExactEdges(entsOld, newEnts)
+        .unionByName(Linking.deltaFuzzyEdges(deltaKeys, keysAll,
+          shingledAll, cfg.link, deltaKeyRows))
+    }
+
+    // 5. canonicalize + materialize over the full (narrow) unions
+    val allTriples = Snapshots.versions(runDir, "extract")
       .map(v => Snapshots.readVersion(spark, runDir, "extract", v))
       .reduce(_ unionByName _)
       .withColumn("subj", concat($"repo", lit("/"), $"path"))
-    val triples = allRaw.filter(!$"q".cast("boolean")).drop("q")
-
-    val ccIters = downstream(spark, runDir, runId, cfg, triples,
-      resume = false)
+      .filter(!$"q".cast("boolean")).drop("q")
+    val ccIters = canonicalize(spark, runDir, runId, cfg, allTriples,
+      lineageUnion(spark, runDir, "entities"),
+      lineageUnion(spark, runDir, "link_edges"), resume = false)
     resultFrom(runDir, runId, ccIters)
   }
+
+  /** Append a DELTA snapshot version, idempotent per runId: a
+    * crash-retry that already published this ingest's slice reads it
+    * back instead of appending a duplicate.
+    */
+  private def appendOnce(spark: SparkSession, runDir: String,
+                         stage: String, runId: String)
+                        (compute: => DataFrame): DataFrame = {
+    Snapshots.versions(runDir, stage).find(v =>
+      Snapshots.readManifestVersion(runDir, stage, v).runId == runId) match {
+      case Some(v) => Snapshots.readVersion(spark, runDir, stage, v)
+      case None => Snapshots.stage(spark, runDir, stage, runId,
+        resume = false, metrics = Map("delta" -> "true"))(compute)
+    }
+  }
+
+  /** Versions forming the current lineage of an appendable stage: the
+    * last FULL (non-delta) version and every delta appended after it.
+    * A stage that has only ever been globally recomputed has a
+    * single-element lineage (its latest version).
+    */
+  private def lineageVersions(runDir: String, stage: String): Seq[Int] = {
+    val vs = Snapshots.versions(runDir, stage)
+    if (vs.isEmpty) return Nil
+    val lastFull = vs.filter(v =>
+      !Snapshots.readManifestVersion(runDir, stage, v)
+        .metrics.get("delta").contains("true")).lastOption.getOrElse(vs.head)
+    vs.filter(_ >= lastFull)
+  }
+
+  private def lineageUnion(spark: SparkSession, runDir: String,
+                           stage: String,
+                           excludeRunId: Option[String] = None): DataFrame =
+    lineageVersions(runDir, stage)
+      .filter(v => !excludeRunId.contains(
+        Snapshots.readManifestVersion(runDir, stage, v).runId))
+      .map(v => Snapshots.readVersion(spark, runDir, stage, v))
+      .reduce(_ unionByName _)
 
   /** Stages 2–4 (entities → link edges → canonicalize → materialize):
     * everything downstream of the content scan, over narrow tables
@@ -249,6 +451,20 @@ object Pipeline {
       }
     } finally if (ownScratch) Snapshots.deleteDir(scratch)
 
+    canonicalize(spark, runDir, runId, cfg, triples, ents, links, resume)
+  }
+
+  /** Stages 3–4 (canonicalize → materialize) — shared by the global
+    * paths ([[run]]/[[runIncremental]] via [[downstream]]) and the
+    * epoch-pinned path ([[runIncrementalPinned]], which supplies
+    * union-of-versions entity/edge tables instead of freshly relinked
+    * ones).
+    */
+  private def canonicalize(spark: SparkSession, runDir: String,
+                           runId: String, cfg: Config,
+                           triples: DataFrame, ents: DataFrame,
+                           links: DataFrame, resume: Boolean): Int = {
+    import spark.implicits._
     // Stage 3 — connected components → canonical id per entity.
     // Singleton entities (no link edge) canonicalize to themselves.
     var ccIters = 0
@@ -314,8 +530,11 @@ object Pipeline {
     * quarantine split falls out of the q= partition-dir keys in the
     * extract manifests' per-file lineage. Extract counts SUM across
     * snapshot versions (a full run has one; each incremental ingest
-    * appends one); downstream stages are always globally recomputed,
-    * so their latest manifest IS the global count.
+    * appends one); entities/link_edges sum their current LINEAGE
+    * (one full version after a global relink; full + disjoint delta
+    * appends under a pinned epoch); assign/nodes/edges are always
+    * globally recomputed, so their latest manifest IS the global
+    * count.
     */
   private def resultFrom(runDir: String, runId: String,
                          ccIters: Int): Result = {
@@ -325,12 +544,14 @@ object Pipeline {
     val quarantined = extractManifests.flatMap(_.fileRows.collect {
       case (f, n) if f.startsWith("q=true/") => n
     }).sum
+    def lineageRows(stage: String): Long = lineageVersions(runDir, stage)
+      .map(v => Snapshots.readManifestVersion(runDir, stage, v).rows).sum
     Result(
       runId = runId,
       triples = rawRows - quarantined,
       quarantined = quarantined,
-      entities = Snapshots.readManifest(runDir, "entities").rows,
-      linkEdges = Snapshots.readManifest(runDir, "link_edges").rows,
+      entities = lineageRows("entities"),
+      linkEdges = lineageRows("link_edges"),
       nodes = Snapshots.readManifest(runDir, "nodes").rows,
       edges = Snapshots.readManifest(runDir, "edges").rows,
       ccIterations = ccIters

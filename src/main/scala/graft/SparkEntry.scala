@@ -681,6 +681,55 @@ object SparkEntry {
         .select(col("canonical"), col("kind"),
           col("memberCount").as("member_count"))
     }),
+    // the INCREMENTAL-INGEST contract under the hash gate: two
+    // Streaming.ingestBatch calls (batch 1 = full pipeline run,
+    // batch 2 = delta-only extract + multi-version union + global
+    // relink) over a source-file corpus DERIVED from the documents
+    // table, so DuckDB can recompute the final graph. Each document
+    // becomes one file of "q: <form>?" lines — the asks extractor
+    // round-trips each form exactly — with the kg_nodes_exact
+    // case/trailing-dot variant scheme (pure doc_id arithmetic).
+    // Variants (doc_id % 3) and batch split (doc_id % 2) are
+    // independent, so norm-equal forms span the two ingests and the
+    // final nodes are correct ONLY if the relink merges entities
+    // ACROSS extract versions — the exact property no edge-append
+    // scheme has. Forms are restricted to ^[a-z0-9]+$ words (both
+    // engines): ':' or '?' inside a word would not round-trip the
+    // asks line format. 'asks' is not a fuzzy pred and linking never
+    // crosses preds, so the kind filter pins the oracle surface.
+    "kg_nodes_incremental" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val runDir = freshScratch("kginc")
+      val words = TextOps.distinctWords(t(dir, "documents"))
+        .filter(col("word").rlike("^[a-z0-9]+$"))
+      val forms = words.select(col("doc_id"),
+        when(col("doc_id") % 3 === 0, upper(col("word")))
+          .when(col("doc_id") % 3 === 1, concat(col("word"), lit(".")))
+          .otherwise(col("word")).as("form"))
+      val filesDf = forms.groupBy(col("doc_id"))
+        .agg(concat_ws("\n", sort_array(collect_list(
+          concat(lit("q: "), col("form"), lit("?"))))).as("content"))
+        .select(lit("docs").as("repo"),
+          concat(lit("d"), col("doc_id").cast("string"), lit(".txt"))
+            .as("path"),
+          lit("c0").as("commit"), lit("md").as("lang"), col("content"),
+          col("doc_id"))
+      val cfg = graft.Pipeline.Config(resume = false,
+        arrangePartitions = Some(4))
+      withCheckpointDir(s, s"$runDir/_ck") {
+        graft.streaming.Streaming.ingestBatch(
+          filesDf.filter(col("doc_id") % 2 === 0).drop("doc_id")
+            .as[SourceFile], 0L, runDir, cfg)
+        graft.streaming.Streaming.ingestBatch(
+          filesDf.filter(col("doc_id") % 2 =!= 0).drop("doc_id")
+            .as[SourceFile], 1L, runDir, cfg)
+      }
+      graft.store.Snapshots.read(s, runDir, "nodes")
+        .filter(col("kind") === "asks")
+        .select(col("canonical"), col("kind"),
+          col("memberCount").as("member_count"))
+    }),
     // ---- custom Catalyst expression (codegen'd rolling fingerprint) ----
     "doc_rolling_fp" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1306,6 +1355,23 @@ object SparkEntry {
         |n AS (SELECT obj, regexp_replace(regexp_replace(lower(trim(obj)),
         |    '\s+', ' ', 'g'), '\.+$', '') AS norm FROM forms)
         |SELECT min(obj) AS canonical, 'mentions' AS kind,
+        |  count(*) AS member_count
+        |FROM n GROUP BY norm""".stripMargin,
+    // incremental ingest: the final maintained graph equals the
+    // norm-equivalence classes of the full form set — batch boundaries
+    // must be invisible in the output (global relink), which is
+    // exactly what this twin cannot see and therefore checks
+    "kg_nodes_incremental" ->
+      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+        |    FROM documents) WHERE regexp_matches(word, '^[a-z0-9]+$')),
+        |forms AS (SELECT DISTINCT
+        |    CASE WHEN doc_id % 3 = 0 THEN upper(word)
+        |         WHEN doc_id % 3 = 1 THEN word || '.'
+        |         ELSE word END AS obj FROM w),
+        |n AS (SELECT obj, regexp_replace(regexp_replace(lower(trim(obj)),
+        |    '\s+', ' ', 'g'), '\.+$', '') AS norm FROM forms)
+        |SELECT min(obj) AS canonical, 'asks' AS kind,
         |  count(*) AS member_count
         |FROM n GROUP BY norm""".stripMargin,
     // brute-force twin of the banded SimHash pairs (banding is

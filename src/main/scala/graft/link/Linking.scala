@@ -98,7 +98,15 @@ object Linking {
       // with no block-manager lifetime to manage (the caller owns the
       // directory). Pipeline points this at the run directory; ad-hoc
       // queries (small inputs) leave it None and recompute.
-      scratchDir: Option[String] = None
+      scratchDir: Option[String] = None,
+      // PINNED stop-shingle census: when set, blocking uses exactly
+      // these (pred, shingleHash) stop shingles instead of running the
+      // df census — the epoch contract of incremental linking
+      // (Pipeline.pinEpoch): the census is corpus-dependent, so
+      // freezing it is what makes a delta ingest's edges equal a
+      // from-scratch run UNDER THE SAME CENSUS without rescanning the
+      // corpus. None (default) = census computed from the input.
+      pinnedHot: Option[Seq[(String, Long)]] = None
   ) {
     def stopShingleCap(nEntities: Long): Long =
       math.max(maxShingleDf, (maxShingleDfFrac * nEntities).toLong)
@@ -181,7 +189,7 @@ object Linking {
     // |shingles| rows per form and re-hashes every shingle n times.
     // Null signatures = empty blocking set (all-stop form): dropped,
     // mirroring the exact path's empty explode.
-    val keys = withBlockShingles(shingled, cfg.stopShingleCap(n))
+    val keys = withBlockShingles(shingled, cfg, n)
       .select(col("pred"), col("entityId"),
         graft.functions.MinHashSigs(col("bsh"), nHashes, cfg.seed).as("sigs"))
       .filter(col("sigs").isNotNull)
@@ -347,15 +355,34 @@ object Linking {
     * map, where the previous exploded anti-join shuffled every
     * (form, shingle) row.
     */
-  private def withBlockShingles(shingled: DataFrame, cap: Long): DataFrame = {
+  private def withBlockShingles(shingled: DataFrame, cfg: Config,
+                                n: Long): DataFrame =
+    removeStops(shingled,
+      cfg.pinnedHot.getOrElse(
+        hotShingles(shingled, cfg.stopShingleCap(n))))
+
+  /** The stop-shingle census: every (pred, shingleHash) whose document
+    * frequency exceeds `cap`. Collected to the driver — MATHEMATICALLY
+    * tiny (Σ df over hot shingles ≤ total shingle rows ⇒ |hot| ≤
+    * rows/cap). Public to the pipeline so an EPOCH can freeze it
+    * ([[Config.pinnedHot]]).
+    */
+  private[graft] def hotShingles(shingled: DataFrame,
+                                 cap: Long): Seq[(String, Long)] =
     // (pred, entityId) rows are distinct, so count(1) per (pred, sh)
     // is the document frequency
-    val hot = shingled
+    shingled
       .select(col("pred"), explode(col("shingles")).as("sh"))
       .groupBy("pred", "sh").agg(count(lit(1)).as("df"))
       .filter(col("df") > cap)
       .select("pred", "sh").collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** Adds `bsh` = shingles minus the given stop set, as literal
+    * `array_except` arrays — a pure map, no shuffle.
+    */
+  private def removeStops(shingled: DataFrame,
+                          hot: Seq[(String, Long)]): DataFrame =
     if (hot.isEmpty) shingled.withColumn("bsh", col("shingles"))
     else {
       val byPred = hot.groupBy(_._1).map { case (p, v) => p -> v.map(_._2).toSeq }
@@ -365,7 +392,6 @@ object Linking {
       }
       shingled.withColumn("bsh", filtered)
     }
-  }
 
   /** Exact set-Jaccard scoring of candidate pairs over the TRUE
     * (unfiltered) shingle sets with the boundary-INCLUSIVE
@@ -402,7 +428,7 @@ object Linking {
     val shingled = sharedShingles(ents, cfg)
     // explode of an empty filtered array yields no rows — all-stop
     // forms drop out of blocking, same as in the banded path
-    val ex = withBlockShingles(shingled, cfg.stopShingleCap(n))
+    val ex = withBlockShingles(shingled, cfg, n)
       .select(col("pred"), col("entityId"), explode(col("bsh")).as("sh"))
     val cand = ex.as("a").join(ex.as("b"),
         col("a.pred") === col("b.pred") && col("a.sh") === col("b.sh") &&
@@ -438,5 +464,93 @@ object Linking {
     // way). The post-score distinct (tiny output) removes the repeats.
     val cand = lshCandidates(shingled, cfg, n)
     scorePairs(cand, shingled, cfg, keepDist).distinct()
+  }
+
+  // ------------------------------------------------------------------
+  // EPOCH-INCREMENTAL entry points (Pipeline.runIncrementalPinned).
+  // An epoch freezes the stop-shingle census and stores the shingle +
+  // banded-key tables as appendable snapshots; an ingest then links
+  // ONLY delta-vs-all — the per-ingest work that touches the old
+  // corpus is broadcast-filtered SCANS of those narrow tables, never
+  // a reshuffle or a re-shingling of the corpus.
+  // ------------------------------------------------------------------
+
+  /** The (pred, entityId, shingles) table of a set of entities — the
+    * epoch's stored shingle artifact (what [[sharedShingles]] computes
+    * per run, as a value the pipeline can snapshot and append to).
+    */
+  private[graft] def shingleTable(ents: DataFrame, cfg: Config): DataFrame =
+    withShingles(ents, cfg.shingleSize)
+      .select(col("pred"), col("entityId"), col("shingles"))
+
+  /** Banded key table under an EXPLICIT (pinned) stop census — the
+    * epoch artifact the incremental ingest appends a delta slice to.
+    */
+  private[graft] def bandedKeyTable(shingled: DataFrame, cfg: Config,
+                                    hot: Seq[(String, Long)]): DataFrame =
+    // n is only consulted when the census is computed; pinning skips it
+    bandedKeys(shingled, cfg.copy(pinnedHot = Some(hot)), n = 0L)
+
+  /** Fuzzy same-entity edges between DELTA forms and the whole corpus
+    * under a pinned census: the delta's band keys join the stored
+    * epoch key table (delta side broadcast when small, so the stored
+    * table is SCANNED, never shuffled), candidate pairs are scored
+    * exactly on the stored shingle table by the same [[scorePairs]]
+    * contract as a full relink. Every emitted pair has ≥1 delta
+    * endpoint, so the union with the stored edge set cannot
+    * double-count. No star guard here: a delta form landing in a
+    * pathological bucket costs |delta ∩ bucket| × bucket pairs — the
+    * linear regime by construction (the guard exists to stop s² blowup
+    * in FULL relinks; delta-vs-all is already ≤ |delta| × s).
+    */
+  private[graft] def deltaFuzzyEdges(keysDelta: DataFrame, keysAll: DataFrame,
+                                     shingledAll: DataFrame, cfg: Config,
+                                     deltaKeyRows: Long): DataFrame = {
+    val d =
+      if (deltaKeyRows <= SkewJoin.BroadcastableRightRows) broadcast(keysDelta)
+      else keysDelta
+    val cand = d.as("d").join(keysAll.as("a"),
+        col("d.pred") === col("a.pred") && col("d.band") === col("a.band") &&
+          col("d.key") === col("a.key") &&
+          col("d.entityId") =!= col("a.entityId"))
+      .select(col("d.pred").as("pred"),
+        least(col("d.entityId"), col("a.entityId")).as("src"),
+        greatest(col("d.entityId"), col("a.entityId")).as("dst"))
+      .distinct()
+    val candHinted =
+      if (deltaKeyRows <= SkewJoin.BroadcastableRightRows) broadcast(cand)
+      else cand
+    scorePairs(candHinted, shingledAll, cfg, keepDist = false).distinct()
+  }
+
+  /** Exact-norm delta edges: connect each delta form into its
+    * (pred, norm) block. For a block that already has old members, the
+    * edge goes to the MIN over the old members (they are already one
+    * component through the stored edges, so this is component-equal to
+    * the from-scratch member→blockMin star); brand-new blocks get the
+    * usual star among the delta members. The old entity table is only
+    * SCANNED (broadcast-filtered by the delta's norms) — no shuffle of
+    * the corpus side. Every edge has a delta endpoint ⇒ disjoint from
+    * the stored edge set.
+    */
+  private[graft] def deltaExactEdges(entsOld: DataFrame,
+                                     entsDelta: DataFrame): DataFrame = {
+    val dnorms = entsDelta.select("pred", "norm").distinct()
+    val oldMins = entsOld.join(broadcast(dnorms), Seq("pred", "norm"))
+      .groupBy("pred", "norm").agg(min("entityId").as("oldMin"))
+    val withOld = entsDelta.join(broadcast(oldMins), Seq("pred", "norm"),
+      "left")
+    val toOld = withOld.filter(col("oldMin").isNotNull)
+      .select(least(col("entityId"), col("oldMin")).as("src"),
+        greatest(col("entityId"), col("oldMin")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val newBlocks = withOld.filter(col("oldMin").isNull)
+    val newMins = newBlocks.groupBy("pred", "norm")
+      .agg(min("entityId").as("dst"), count(lit(1)).as("n"))
+      .filter(col("n") > 1).drop("n")
+    val toNew = newBlocks.join(newMins, Seq("pred", "norm"))
+      .filter(col("entityId") =!= col("dst"))
+      .select(col("entityId").as("src"), col("dst"))
+    toOld.unionByName(toNew).distinct()
   }
 }

@@ -53,7 +53,16 @@ object IncrementalBench {
     spark.sparkContext.setCheckpointDir(s"$base/_checkpoints")
     timed(s"base run n=$n")(
       Pipeline.run(spark, rd(baseDir), s"$base/inc", "base"))
-    val rInc = timed(s"incremental ingest m=$m")(
+
+    // ---- EPOCH-PINNED ingest, from a copy of the pre-ingest state ----
+    // (so pinned and global ingest both start from the identical base)
+    val incp = s"$base/incp"
+    copyDir(s"$base/inc", incp)
+    timed("pinEpoch")(Pipeline.pinEpoch(spark, incp, "pin"))
+    val rPin = timed(s"EPOCH-PINNED ingest m=$m")(
+      Pipeline.runIncrementalPinned(spark, rd(deltaDir), incp, "delta"))
+
+    val rInc = timed(s"global incremental ingest m=$m")(
       Pipeline.runIncremental(spark, rd(deltaDir), s"$base/inc", "delta"))
     val rFull = timed(s"from-scratch n+m=${n + m}")(
       Pipeline.run(spark, rd(fullDir), s"$base/full", "full"))
@@ -68,6 +77,39 @@ object IncrementalBench {
     val exFull = Snapshots.readManifest(s"$base/full", "extract")
     println(f"[incbench] extract walls: base(n)=${exBase.wallMs / 1e3}%.1fs " +
       f"delta(m)=${exDelta.wallMs / 1e3}%.1fs fromScratch(n+m)=${exFull.wallMs / 1e3}%.1fs")
+
+    // the epoch claim decomposed: the pinned ingest's LINKING work is
+    // delta-sized (entities/shingles/keys/link_edges appends) where
+    // the global ingest recomputes full-corpus entities + link_edges
+    def w(dir: String, stage: String, v: Int): Double =
+      Snapshots.readManifestVersion(dir, stage, v).wallMs / 1e3
+    println(f"[incbench] global ingest link walls: " +
+      f"entities=${w(s"$base/inc", "entities", 2)}%.1fs " +
+      f"link_edges=${w(s"$base/inc", "link_edges", 2)}%.1fs")
+    println(f"[incbench] pinned ingest link walls: " +
+      f"entities=${w(incp, "entities", 2)}%.1fs " +
+      f"ep_shingles=${w(incp, "ep_shingles", 2)}%.1fs " +
+      f"ep_keys=${w(incp, "ep_keys", 2)}%.1fs " +
+      f"link_edges=${w(incp, "link_edges", 2)}%.1fs")
+    println(s"[incbench] pinned-vs-global graph: nodes ${rPin.nodes}/" +
+      s"${rInc.nodes} edges ${rPin.edges}/${rInc.edges} " +
+      s"(pinned census vs fresh census — equality is only promised " +
+      s"census-for-census, PipelineSpec)")
     spark.stop()
+  }
+
+  private def copyDir(from: String, to: String): Unit = {
+    val src = java.nio.file.Path.of(from)
+    val walk = java.nio.file.Files.walk(src)
+    try {
+      val it = walk.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        val dst = java.nio.file.Path.of(to).resolve(src.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(dst)
+        else java.nio.file.Files.copy(p, dst)
+      }
+    } finally walk.close()
   }
 }

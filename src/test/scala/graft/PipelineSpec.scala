@@ -183,6 +183,69 @@ class PipelineSpec extends SparkSpec {
     assert(ex2.getMessage.contains("runIncremental"), ex2.getMessage)
   }
 
+  test("epoch-pinned ingest equals from-scratch under the pinned census; delta appends only") {
+    val all = FilesGen.local(n)
+    val (a, b) = all.splitAt(n * 3 / 4)
+    // force the banded fuzzy path everywhere: the epoch's stored-key
+    // mechanism IS the banded scheme, so the base run and the
+    // comparator must take it too (the exact small-set path surfaces a
+    // candidate superset — equality holds only path-for-path)
+    def cfg(hot: Option[Seq[(String, Long)]]) = Pipeline.Config(
+      link = graft.link.Linking.Config(exactSmallThreshold = 0L,
+        pinnedHot = hot))
+
+    val inc = tmpDir("ep-inc")
+    Pipeline.run(spark, a.toDS(), inc, "ep-base", cfg(None))
+    Pipeline.pinEpoch(spark, inc, "ep-pin", cfg(None))
+    val hot = Snapshots.read(spark, inc, "ep_census")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val rPinned = Pipeline.runIncrementalPinned(spark, b.toDS(), inc,
+      "ep-delta", cfg(None))
+
+    // from-scratch comparator: full pipeline on A ∪ B under the SAME
+    // frozen census (pinned right after the base run = the base run's
+    // own census by the cap convention)
+    val full = tmpDir("ep-full")
+    val rFull = Pipeline.run(spark, all.toDS(), full, "ep-fullrun",
+      cfg(Some(hot)))
+    assert(nodeSet(inc) == nodeSet(full))
+    assert(edgeSet(inc) == edgeSet(full))
+    assert(rPinned.nodes == rFull.nodes && rPinned.edges == rFull.edges)
+    assert(rPinned.triples == rFull.triples &&
+      rPinned.entities == rFull.entities)
+
+    // the ingest appended DELTA slices (no global relink): entities,
+    // shingles, keys, and link_edges all carry a second (delta)
+    // version; the extract stayed delta-only
+    Seq("extract", "entities", "ep_shingles", "ep_keys", "link_edges")
+      .foreach { st =>
+        assert(Snapshots.versions(inc, st) == Seq(1, 2), st)
+      }
+    assert(Snapshots.readManifestVersion(inc, "link_edges", 2)
+      .metrics.get("delta").contains("true"))
+
+    // crash-retry idempotence mid-chain: kill after the delta link
+    // published but before edges completed; the retry must not append
+    // duplicate delta slices anywhere
+    Files.delete(Path.of(Snapshots.stageDir(inc, "edges"), "_MANIFEST.json"))
+    val rRetry = Pipeline.runIncrementalPinned(spark, b.toDS(), inc,
+      "ep-delta", cfg(None))
+    Seq("entities", "ep_shingles", "ep_keys", "link_edges").foreach { st =>
+      assert(Snapshots.versions(inc, st) == Seq(1, 2), s"$st dup delta")
+    }
+    assert(rRetry.copy(runId = "x") == rPinned.copy(runId = "x"))
+    assert(nodeSet(inc) == nodeSet(full))
+
+    // a global relink BUMPS the epoch: pinned state is dropped and a
+    // further pinned ingest is refused until re-pinned
+    Pipeline.runIncremental(spark, b.take(10).toDS(), inc, "ep-bump",
+      cfg(None))
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.runIncrementalPinned(spark, b.toDS(), inc, "ep-x", cfg(None))
+    }
+    assert(ex.getMessage.contains("pinEpoch"), ex.getMessage)
+  }
+
   test("re-run with resume is a no-op yielding identical results") {
     val dir = tmpDir("c")
     val r1 = Pipeline.run(spark, files, dir, "run-c")
