@@ -303,13 +303,20 @@ object Linking {
     * NB: rpad TRUNCATES strings longer than the target length — pad
     * only the genuinely short ones; array_distinct runs on the strings
     * (hashing preserves distinctness short of a collision).
+    *
+    * The hash array is SORTED at the source: every consumer treats it
+    * as a set (sigs, census, array_except keep working), and the
+    * scoring join's intersection count becomes a zero-allocation
+    * linear merge ([[graft.functions.SortedIntersectCount]]) instead
+    * of a per-pair hash-set build — sortedness is part of the stored
+    * shingle-table contract (scratch and epoch snapshots carry it).
     */
   private[graft] def withShingles(ents: DataFrame, k: Int): DataFrame =
     ents.withColumn("padded",
         when(length(col("norm")) < k, rpad(col("norm"), k, "_"))
           .otherwise(col("norm")))
       .withColumn("shingles", expr(
-        s"transform(array_distinct(transform(sequence(0, length(padded) - $k), i -> substring(padded, i + 1, $k))), s -> xxhash64(s))"))
+        s"sort_array(transform(array_distinct(transform(sequence(0, length(padded) - $k), i -> substring(padded, i + 1, $k))), s -> xxhash64(s)))"))
       .drop("padded")
 
   /** The shingle table both fuzzy paths share, pruned to the three
@@ -402,8 +409,11 @@ object Linking {
   private def scorePairs(cand: DataFrame, shingled: DataFrame,
                          cfg: Config, keepDist: Boolean): DataFrame = {
     val sets = shingled.select(col("pred"), col("entityId"), col("shingles"))
-    val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles")))
-      .cast("double")
+    // zero-allocation merge count over the sorted hash arrays (the
+    // withShingles sortedness contract) — array_intersect would build
+    // a hash set AND the intersection array per candidate pair
+    val inter = graft.functions.SortedIntersectCount(
+      col("sa.shingles"), col("sb.shingles")).cast("double")
     val uni = (size(col("sa.shingles")) + size(col("sb.shingles")))
       .cast("double") - inter
     val scored = cand

@@ -151,4 +151,44 @@ class FunctionsSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(!cand.contains((2L, 4L)), s"zero vectors collided: $cand")
   }
+
+  test("sorted_intersect_count == set intersection; codegen span; scorer parity") {
+    import graft.functions.SortedIntersectCount
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 200).map { _ =>
+      val a = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      val b = Seq.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted
+      (a, b)
+    } :+ ((Seq.empty[Long], Seq(1L, 2L)))
+    val got = cases.toDF("a", "b")
+      .select(SortedIntersectCount($"a", $"b").as("n"))
+      .as[Int].collect()
+    cases.zip(got).foreach { case ((a, b), n) =>
+      assert(n == (a.toSet & b.toSet).size, s"$a ∩ $b")
+    }
+    // inside whole-stage codegen with a non-foldable source
+    val plan = spark.range(50)
+      .select(SortedIntersectCount(
+        sort_array(array($"id", $"id" + 7L)),
+        sort_array(array($"id", $"id" + 3L))).as("n"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)") && plan.contains("sorted_intersect_count"),
+      plan)
+    // the linking scorer's Jaccard is unchanged by the swap: the
+    // withShingles arrays are sorted at the source, and the merge
+    // count over them equals array_intersect's size
+    import graft.link.Linking
+    val ents = Linking.entitiesOf(Seq("alpha-beta", "alpha-beta.",
+        "alpha-begamma", "unrelated-zzz").toDF("obj")
+      .withColumn("pred", lit("tagged")))
+    val sh = Linking.withShingles(ents, 3)
+    val both = sh.as("sa").crossJoin(sh.as("sb"))
+      .select(
+        SortedIntersectCount($"sa.shingles", $"sb.shingles").as("merge"),
+        size(array_intersect($"sa.shingles", $"sb.shingles")).as("hash"))
+      .as[(Int, Int)].collect()
+    assert(both.forall { case (m, h) => m == h }, both.mkString(","))
+  }
 }
