@@ -118,7 +118,8 @@ object Streaming {
     */
   def ingestBatch(batch: Dataset[graft.SourceFile], batchId: Long,
                   runDir: String,
-                  cfg: graft.Pipeline.Config = graft.Pipeline.Config())
+                  cfg: graft.Pipeline.Config = graft.Pipeline.Config(),
+                  epochPinned: Boolean = false)
   : Boolean = {
     import graft.store.Snapshots
     val runId = s"batch-$batchId"
@@ -134,10 +135,27 @@ object Streaming {
       Snapshots.readManifest(runDir, "edges").runId == runId
     if (applied) false
     else {
-      if (prior)
-        graft.Pipeline.runIncremental(batch.sparkSession, batch, runDir, runId, cfg)
-      else
-        graft.Pipeline.run(batch.sparkSession, batch, runDir, runId, cfg)
+      val spark = batch.sparkSession
+      // epoch mode: the continuous-maintenance cost profile — linking
+      // is delta-vs-all under a census frozen at the first batch
+      // (Pipeline.runIncrementalPinned; BENCH.md §10). The pin itself
+      // is crash-healed: a batch that died between the base run and
+      // the pin (or mid-pin) re-pins from the current global state on
+      // replay (pinEpoch rewrites all three epoch stages together).
+      def ensurePinned(): Unit =
+        if (!Seq("ep_census", "ep_shingles", "ep_keys")
+            .forall(Snapshots.isComplete(runDir, _)))
+          graft.Pipeline.pinEpoch(spark, runDir, s"$runId-pin", cfg)
+      if (prior) {
+        if (epochPinned) {
+          ensurePinned()
+          graft.Pipeline.runIncrementalPinned(spark, batch, runDir, runId, cfg)
+        } else
+          graft.Pipeline.runIncremental(spark, batch, runDir, runId, cfg)
+      } else {
+        graft.Pipeline.run(spark, batch, runDir, runId, cfg)
+        if (epochPinned) ensurePinned()
+      }
       true
     }
   }
@@ -150,13 +168,14 @@ object Streaming {
     * no-ops via the per-batch idempotence guard.
     */
   def kgIngestStream(files: Dataset[graft.SourceFile], runDir: String,
-                     cfg: graft.Pipeline.Config = graft.Pipeline.Config())
+                     cfg: graft.Pipeline.Config = graft.Pipeline.Config(),
+                     epochPinned: Boolean = false)
   : org.apache.spark.sql.streaming.StreamingQuery =
     files.writeStream
       .option("checkpointLocation", s"$runDir/_stream_checkpoint")
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[graft.SourceFile], batchId: Long) =>
-        ingestBatch(batch, batchId, runDir, cfg): Unit
+        ingestBatch(batch, batchId, runDir, cfg, epochPinned): Unit
       }
       .start()
 

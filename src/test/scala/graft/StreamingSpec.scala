@@ -198,4 +198,63 @@ class StreamingSpec extends SparkSpec {
     assert(Snapshots.versions(runDir, "extract") == Seq(1, 2))
     assert(nodes(runDir) == nodes(full))
   }
+
+  test("streaming KG ingest in EPOCH mode: delta-only linking, graph equals pinned from-scratch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.Snapshots
+    val all = graft.fixtures.FilesGen.local(300)
+    val (a, b) = all.splitAt(200)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-ep").toString
+    // banded fuzzy path everywhere (the epoch mechanism), as in
+    // PipelineSpec's pinned-equality test
+    val cfg = Pipeline.Config(link =
+      graft.link.Linking.Config(exactSmallThreshold = 0L))
+
+    val input = MemoryStream[graft.SourceFile](spark)
+    val q = Streaming.kgIngestStream(input.toDS(), runDir, cfg,
+      epochPinned = true)
+    try {
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 1 pinned the epoch; batch 2 APPENDED delta slices instead
+    // of relinking globally
+    Seq("ep_census", "ep_shingles", "ep_keys").foreach(st =>
+      assert(Snapshots.isComplete(runDir, st), st))
+    Seq("entities", "link_edges").foreach { st =>
+      assert(Snapshots.versions(runDir, st) == Seq(1, 2), st)
+      assert(Snapshots.readManifestVersion(runDir, st, 2)
+        .metrics.get("delta").contains("true"), s"$st not a delta append")
+    }
+
+    // graph equality vs a from-scratch run under the same pinned census
+    val hot = Snapshots.read(spark, runDir, "ep_census")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-stream-ep-full").toString
+    Pipeline.run(spark, all.toDS(), full, "full", Pipeline.Config(link =
+      graft.link.Linking.Config(exactSmallThreshold = 0L,
+        pinnedHot = Some(hot))))
+    def nodes(d: String) = Snapshots.read(spark, d, "nodes")
+      .select($"canonicalId", $"canonical", $"kind", $"memberCount")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(nodes(runDir) == nodes(full))
+
+    // crash between base run and pin: drop the epoch state, replay an
+    // UNAPPLIED batch — ensurePinned re-pins from the current state
+    Seq("ep_census", "ep_shingles", "ep_keys").foreach(st =>
+      Snapshots.deleteDir(Snapshots.stageDir(runDir, st)))
+    java.nio.file.Files.delete(java.nio.file.Path.of(
+      Snapshots.stageDir(runDir, "edges"), "_MANIFEST.json"))
+    val reapplied = Streaming.ingestBatch(b.toDS(), batchId = 1L, runDir,
+      cfg, epochPinned = true)
+    assert(reapplied)
+    Seq("ep_census", "ep_shingles", "ep_keys").foreach(st =>
+      assert(Snapshots.isComplete(runDir, st), s"$st not re-pinned"))
+    assert(Snapshots.versions(runDir, "extract") == Seq(1, 2))
+  }
 }
