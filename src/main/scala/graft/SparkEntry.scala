@@ -231,6 +231,20 @@ object SparkEntry {
           Map("src0" -> 0.3, "src1" -> 1.0), defaultRate = 0.5)
         .select(col("doc_id"), col("source"))
     }),
+    // token-budget mixture planning: per-stratum keep rates DERIVED
+    // from the actual token mass (rate = min(1, budget/Σtokens)) then
+    // the deterministic salted-md5 filter; strata without a budget
+    // keep everything. The twin recomputes the whole derivation —
+    // sums, IEEE rate division, hex thresholds — inside the oracle
+    "mix_to_budget" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val toks = t(dir, "documents").select(col("doc_id"), col("source"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      graft.ops.Sampling.mixToBudget(toks, col("doc_id"), col("source"),
+          col("n_tokens"),
+          Map("src0" -> 400L, "src1" -> 1000000L, "src2" -> 700L))
+        .select(col("doc_id"), col("source"), col("n_tokens"))
+    }),
     // GPT-style concat-and-chunk packing into 2048-token windows
     "pack_sequences" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -398,6 +412,16 @@ object SparkEntry {
     "dedup_minhash" -> ((s, dir) => {
       implicit val sp: SparkSession = s
       Dedup.minhashSurvivors(t(dir, "documents"), n = 3, minJ = 0.5)
+    }),
+    // near-dup dedup keeping the BEST cluster member (longest doc,
+    // tie -> min id) instead of the min-id member — the production
+    // representative choice; same banded pair graph + CC, one extra
+    // argmax groupBy. Twin: closure + row_number over (comp, quality)
+    "dedup_keep_best" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      Dedup.minhashSurvivorsBy(t(dir, "documents"),
+        size(split(trim(col("text")), "\\s+")).cast("long"),
+        n = 3, minJ = 0.5)
     }),
     // the scale path with an oracle: MinHash banding generates
     // candidates, exact set-Jaccard re-scores them — output is exact,
@@ -1324,6 +1348,60 @@ object SparkEntry {
         |  HAVING src > min(dst))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // same closure as dedup_minhash; representative = argmax token
+    // count per component, tie -> min id (the keep-best contract)
+    "dedup_keep_best" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+        |  FROM sh a JOIN sh b USING (sh) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |pairs AS (SELECT id_a, id_b FROM cand
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT r.src, e2.dst FROM reach r JOIN e e2 ON r.dst = e2.src),
+        |compid AS (SELECT t.doc_id,
+        |    least(t.doc_id, coalesce(min(r.dst), t.doc_id)) AS comp
+        |  FROM w t LEFT JOIN reach r ON r.src = t.doc_id GROUP BY t.doc_id),
+        |q AS (SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS nt
+        |  FROM documents)
+        |SELECT doc_id FROM (
+        |  SELECT c.doc_id, row_number() OVER (
+        |    PARTITION BY comp ORDER BY q.nt DESC, c.doc_id ASC) AS rn
+        |  FROM compid c JOIN q USING (doc_id)) WHERE rn = 1""".stripMargin,
+    // rates derived in-oracle: IEEE double division + the same 4-hex
+    // floor thresholds as stratified_sample; budget-less strata 'ffff'
+    "mix_to_budget" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS tot
+        |  FROM t GROUP BY source),
+        |r AS (SELECT source,
+        |    LEAST(1.0, CASE source WHEN 'src0' THEN 400.0
+        |      WHEN 'src1' THEN 1000000.0
+        |      WHEN 'src2' THEN 700.0 ELSE NULL END / tot) AS rate
+        |  FROM tot),
+        |th AS (SELECT source,
+        |    CASE WHEN rate IS NULL THEN 'ffff'
+        |      ELSE printf('%04x', LEAST(65535, CAST(floor(rate * 65536) AS BIGINT)))
+        |    END AS th
+        |  FROM r),
+        |b AS (SELECT doc_id, source, n_tokens,
+        |    substring(md5('sample:' || CAST(doc_id AS VARCHAR)), 1, 4) AS bk
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens
+        |FROM b JOIN th USING (source)
+        |WHERE bk < th OR (th = 'ffff' AND bk = 'ffff')""".stripMargin,
     // fuzzy KG nodes, exact small-set path: shingles + exact Jaccard
     // (inclusive >= 0.5; the 3-letter-word variants sit exactly at the
     // boundary) + transitive closure, all recomputed in SQL

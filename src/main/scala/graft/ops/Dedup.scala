@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a large-scale training-data pipeline:
@@ -295,5 +295,35 @@ object Dedup {
     // rows, so every listed id is a non-minimal member by construction
     val dropped = cc.assignments.select(col("id").as(id))
     docs.select(col(id)).join(dropped, Seq(id), "left_anti")
+  }
+
+  /** Near-dup dedup keeping the BEST member of each duplicate cluster
+    * by `qualityCol` (ties → min id) instead of the min-id member —
+    * what production curation actually wants: when a document exists
+    * in several near-identical variants, keep the longest / highest-
+    * quality one, not whichever hashed lowest. Same pair graph and CC
+    * machinery as [[minhashSurvivors]]; the representative choice is
+    * one groupBy over (component, quality) — `min(struct(-q, id))` is
+    * a deterministic argmax with the id tie-break, so re-runs and
+    * repartitionings reproduce the same survivors.
+    *
+    * `qualityCol` must be numeric and non-null. Output: one (id) row
+    * per cluster representative (singletons survive as themselves).
+    */
+  def minhashSurvivorsBy(docs: DataFrame, qualityCol: Column,
+                         n: Int = 3, minJ: Double = 0.5,
+                         numBands: Int = 8, seed: Long = 42L,
+                         id: String = "doc_id",
+                         text: String = "text"): DataFrame = {
+    val pairs = minhashNearDupPairs(docs, n, minJ, numBands, seed, id, text)
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = graft.canon.ConnectedComponents.run(pairs)
+    val assign = cc.assignments.withColumnRenamed("id", id)
+    docs.select(col(id), qualityCol.cast("double").as("__q"))
+      .join(assign, Seq(id), "left")
+      .withColumn("__comp", coalesce(col("comp"), col(id)))
+      .groupBy("__comp")
+      .agg(min(struct((col("__q") * -1.0).as("nq"), col(id).as(id))).as("m"))
+      .select(col(s"m.$id").as(id))
   }
 }

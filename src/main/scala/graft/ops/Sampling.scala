@@ -81,6 +81,45 @@ object Sampling {
       (threshold === lit("ffff") && bucket === lit("ffff")))
   }
 
+  /** Token-budget mixture planning: derive each stratum's keep rate
+    * from its ACTUAL token mass so it contributes ≈ its target token
+    * budget, then apply the deterministic hash filter
+    * ([[stratifiedSample]]). This is the operational form of a
+    * training-mixture spec — "200B tokens of crawl, everything from
+    * books" — where the rates nobody knows up front are derived from
+    * one aggregation:
+    *
+    *   rate(s) = min(1, budget(s) / Σ tokens(s))
+    *
+    * Strata without a budget keep everything (rate 1.0). Because the
+    * per-doc keep decision is the salted md5 bucket — independent of
+    * document length — the kept token mass is an unbiased estimate of
+    * the budget (±sampling noise ∝ 1/√docs); no doc-boundary packing
+    * tricks are needed.
+    *
+    * Scale shape: ONE map-side-combined aggregation over (stratum,
+    * tokens) whose result is collected (bounded by #strata — mixture
+    * strata are a handful by construction), then the shuffle-free
+    * codegen'd filter. The rates are a deterministic function of the
+    * data, so re-runs reproduce the same corpus bit-identically, and
+    * the DuckDB twin recomputes the whole derivation (sums → IEEE
+    * rate division → hex thresholds) inside the oracle.
+    */
+  def mixToBudget(df: DataFrame, idCol: Column, strataCol: Column,
+                  tokensCol: Column,
+                  budgets: Map[String, Long]): DataFrame = {
+    budgets.values.foreach(b => require(b >= 0L, s"negative budget $b"))
+    val sums = df.groupBy(strataCol.as("__s"))
+      .agg(coalesce(sum(tokensCol.cast("long")), lit(0L)).as("__tot"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rates = budgets.flatMap { case (s, b) =>
+      sums.get(s).collect { case tot if tot > 0L =>
+        s -> math.min(1.0, b.toDouble / tot.toDouble)
+      }
+    }
+    stratifiedSample(df, idCol, strataCol, rates, defaultRate = 1.0)
+  }
+
   /** Concatenate-and-chunk sequence packing (the GPT-style pretraining
     * layout): within each `group` (corpus/source), documents are laid
     * end-to-end in `order` and the token stream is cut every `budget`

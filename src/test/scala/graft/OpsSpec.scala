@@ -85,6 +85,57 @@ class OpsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(got == expected,
       s"missing=${(expected -- got).take(5)} extra=${(got -- expected).take(5)}")
+
+    // keep-best variant: same components, representative = argmax
+    // quality (token count), tie -> min id
+    val toks = docs.select($"doc_id",
+        size(split(trim($"text"), "\\s+")).cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val byComp = allIds.groupBy(find)
+    val expectedBest = byComp.values.map(members =>
+      members.minBy(d => (-toks(d), d))).toSet
+    val gotBest = Dedup.minhashSurvivorsBy(docs,
+        size(split(trim($"text"), "\\s+")).cast("long"), n = 3, minJ = 0.5)
+      .as[Long].collect().toSet
+    assert(gotBest == expectedBest,
+      s"missing=${(expectedBest -- gotBest).take(5)} extra=${(gotBest -- expectedBest).take(5)}")
+    // one representative per component, and clusters with a longer
+    // non-min member actually differ from the min-id rule
+    assert(gotBest.size == expected.size)
+  }
+
+  test("mixToBudget derives rates from token mass; unbiased kept mass; keep-all default") {
+    import graft.ops.Sampling
+    val toks = docs.select($"doc_id", $"source",
+      size(split(trim($"text"), "\\s+")).cast("long").as("n_tokens"))
+    val budgets = Map("src0" -> 400L, "src1" -> 1000000L, "src2" -> 700L)
+    val got = Sampling.mixToBudget(toks, $"doc_id", $"source",
+        $"n_tokens", budgets)
+      .select($"doc_id", $"source", $"n_tokens")
+      .as[(Long, String, Long)].collect()
+    // equals stratifiedSample under the independently derived rates
+    val sums = toks.groupBy("source").agg(sum($"n_tokens").as("s"))
+      .as[(String, Long)].collect().toMap
+    val rates = budgets.map { case (k, b) =>
+      k -> math.min(1.0, b.toDouble / sums(k).toDouble) }
+    val expected = Sampling.stratifiedSample(toks, $"doc_id", $"source",
+        rates, defaultRate = 1.0)
+      .select($"doc_id", $"source", $"n_tokens")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got.toSet == expected)
+    // budget-capped stratum (rate 1.0) and budget-less strata keep ALL
+    val bySrc = got.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    assert(bySrc("src1") == sums("src1"))
+    assert(bySrc("src3") == sums("src3"))
+    // downsampled strata land near their budget (hash sampling is
+    // doc-count noise; 25 docs/stratum at sf0.01 → generous band)
+    assert(bySrc("src0") > 0L && bySrc("src0") < sums("src0"))
+    assert(math.abs(bySrc("src0") - 400L) < 300L, bySrc("src0").toString)
+    // deterministic across partitionings
+    val re = Sampling.mixToBudget(toks.repartition(7), $"doc_id",
+        $"source", $"n_tokens", budgets)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(re == got.map(_._1).toSet)
   }
 
   test("stop-shingle blocking yields a conservative subset of full pairs") {
