@@ -323,14 +323,22 @@ object Pipeline {
 
     // 2. delta entity forms — distinct forms of the delta not already
     // in the stored entity table (which is only scanned: the delta's
-    // ids broadcast into the probe, the survivors anti-join a tiny set)
+    // ids broadcast into the probe, the survivors anti-join a tiny
+    // set). Broadcast hints only while the delta is small (bounded by
+    // the delta extract's manifest rows); an epoch-sized delta
+    // degrades to AQE-planned joins instead of blowing the driver.
+    val deltaExtractRows =
+      Snapshots.readManifestVersion(runDir, "extract", myV).rows
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaExtractRows <= SkewJoin.BroadcastableRightRows) broadcast(df)
+      else df
     val entsOld = oldUnion("entities")
     val newEnts = appendOnce(spark, runDir, "entities", runId) {
       val deltaForms = Linking.entitiesOf(deltaTriples)
       val existing = entsOld
-        .join(broadcast(deltaForms.select("entityId")), Seq("entityId"))
+        .join(hinted(deltaForms.select("entityId")), Seq("entityId"))
         .select("entityId").distinct()
-      deltaForms.join(broadcast(existing), Seq("entityId"), "left_anti")
+      deltaForms.join(hinted(existing), Seq("entityId"), "left_anti")
     }
 
     // 3. delta shingles + band keys under the PINNED census
@@ -353,7 +361,7 @@ object Pipeline {
     appendOnce(spark, runDir, "link_edges", runId) {
       val keysAll = lineageUnion(spark, runDir, "ep_keys")
       val shingledAll = lineageUnion(spark, runDir, "ep_shingles")
-      Linking.deltaExactEdges(entsOld, newEnts)
+      Linking.deltaExactEdges(entsOld, newEnts, deltaExtractRows)
         .unionByName(Linking.deltaFuzzyEdges(deltaKeys, keysAll,
           shingledAll, cfg.link, deltaKeyRows))
     }

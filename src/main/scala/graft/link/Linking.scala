@@ -544,11 +544,17 @@ object Linking {
     * the stored edge set.
     */
   private[graft] def deltaExactEdges(entsOld: DataFrame,
-                                     entsDelta: DataFrame): DataFrame = {
+                                     entsDelta: DataFrame,
+                                     deltaRows: Long): DataFrame = {
+    // broadcast the delta-derived frames only while they are small
+    // (the common ingest shape); an epoch-sized delta degrades to
+    // AQE-planned joins instead of blowing the driver
+    def hinted(df: DataFrame): DataFrame =
+      if (deltaRows <= SkewJoin.BroadcastableRightRows) broadcast(df) else df
     val dnorms = entsDelta.select("pred", "norm").distinct()
-    val oldMins = entsOld.join(broadcast(dnorms), Seq("pred", "norm"))
+    val oldMins = entsOld.join(hinted(dnorms), Seq("pred", "norm"))
       .groupBy("pred", "norm").agg(min("entityId").as("oldMin"))
-    val withOld = entsDelta.join(broadcast(oldMins), Seq("pred", "norm"),
+    val withOld = entsDelta.join(hinted(oldMins), Seq("pred", "norm"),
       "left")
     val toOld = withOld.filter(col("oldMin").isNotNull)
       .select(least(col("entityId"), col("oldMin")).as("src"),
