@@ -254,6 +254,14 @@ object Pipeline {
     * (ep_shingles), and the banded key table (ep_keys), each a
     * versioned snapshot under the run dir. Call after Pipeline.run or
     * a global runIncremental.
+    *
+    * Re-pinning over a dir whose link_edges lineage already carries
+    * delta appends BLENDS censuses (old edges were scored under the
+    * previous census) — still precision-1.0 (every edge is an exact
+    * Jaccard ≥ threshold), but the spec'd from-scratch-under-census
+    * equality only holds for epochs pinned right after a GLOBAL
+    * relink. The crash-heal path in Streaming.ingestBatch accepts the
+    * blend deliberately (availability over the recall fine print).
     */
   def pinEpoch(spark: SparkSession, runDir: String, runId: String,
                cfg: Config = Config()): Unit = {

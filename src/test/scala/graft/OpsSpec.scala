@@ -136,6 +136,11 @@ class OpsSpec extends SparkSpec {
         $"source", $"n_tokens", budgets)
       .select($"doc_id").as[Long].collect().toSet
     assert(re == got.map(_._1).toSet)
+    // after the one derive-time aggregation, the returned frame is a
+    // pure shuffle-free filter (same contract as stratifiedSample)
+    val plan = Sampling.mixToBudget(toks, $"doc_id", $"source",
+      $"n_tokens", budgets).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan.take(2000))
   }
 
   test("stop-shingle blocking yields a conservative subset of full pairs") {
