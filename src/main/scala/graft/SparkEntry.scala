@@ -413,6 +413,16 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       Dedup.minhashSurvivors(t(dir, "documents"), n = 3, minJ = 0.5)
     }),
+    // NEAR-DUP-level decontamination: corpus docs at n-gram Jaccard
+    // >= 0.5 vs any eval doc (the fuzzy upgrade of contamination_check
+    // — catches paraphrased leakage verbatim-overlap counts miss);
+    // bench side broadcast, exact re-score, brute-force SQL twin
+    "fuzzy_decontam" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      val d = t(dir, "documents")
+      Dedup.fuzzyContaminated(d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), n = 3, minJ = 0.5)
+    }),
     // near-dup dedup keeping the BEST cluster member (longest doc,
     // tie -> min id) instead of the min-id member — the production
     // representative choice; same banded pair graph + CC, one extra
@@ -1348,6 +1358,26 @@ object SparkEntry {
         |  HAVING src > min(dst))
         |SELECT doc_id FROM documents
         |WHERE doc_id NOT IN (SELECT doc_id FROM dropped)""".stripMargin,
+    // brute-force cross Jaccard: every (corpus, bench) pair sharing a
+    // shingle, exact J >= 0.5, per-doc match count + max
+    "fuzzy_decontam" ->
+      """WITH w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, sh FROM (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(ws) - 2, 1) + 1),
+        |    i -> array_to_string(ws[i:i+2], ' '))) AS sh FROM w)),
+        |c AS (SELECT * FROM sh WHERE doc_id % 50 <> 0),
+        |b AS (SELECT * FROM sh WHERE doc_id % 50 = 0),
+        |sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |pair AS (SELECT c.doc_id AS doc_id, b.doc_id AS bid, count(*) AS inter
+        |  FROM c JOIN b USING (sh) GROUP BY 1, 2),
+        |j AS (SELECT pair.doc_id, bid,
+        |    CAST(inter AS DOUBLE) / (sc.sz + sb.sz - inter) AS j
+        |  FROM pair JOIN sizes sc ON sc.doc_id = pair.doc_id
+        |  JOIN sizes sb ON sb.doc_id = bid
+        |  WHERE CAST(inter AS DOUBLE) / (sc.sz + sb.sz - inter) >= 0.5)
+        |SELECT doc_id, count(*) AS n_matches, round(max(j), 6) AS max_j
+        |FROM j GROUP BY doc_id""".stripMargin,
     // same closure as dedup_minhash; representative = argmax token
     // count per component, tie -> min id (the keep-best contract)
     "dedup_keep_best" ->

@@ -233,22 +233,76 @@ object Dedup {
     * ≤ (1−J)^b (≈0.4% at b=8) while random text pairs (shingle
     * Jaccard ≈ 0) almost never collide.
     */
+  /** (id, band, key) MinHash band-key table — the blocking artifact
+    * both the self-join candidates and the cross-corpus
+    * decontamination join bucket on.
+    */
+  private[graft] def bandKeys(docs: DataFrame, n: Int, numBands: Int,
+                              seed: Long, id: String,
+                              text: String): DataFrame = {
+    val sh = wordShingles(docs, n, id, text)
+    val aggs = (0 until numBands).map(i =>
+      min(xxhash64(lit(seed + i), col("shingle"))).as(s"k$i"))
+    val keys = sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
+    keys.select(col(id), explode(array((0 until numBands).map(i =>
+        struct(lit(i).as("band"), col(s"k$i").as("key"))): _*)).as("bk"))
+      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
   private[graft] def minhashBandCandidates(docs: DataFrame, n: Int = 3,
                                            numBands: Int = 8,
                                            seed: Long = 42L,
                                            id: String = "doc_id",
                                            text: String = "text"): DataFrame = {
-    val sh = wordShingles(docs, n, id, text)
-    val aggs = (0 until numBands).map(i =>
-      min(xxhash64(lit(seed + i), col("shingle"))).as(s"k$i"))
-    val keys = sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
-    val banded = keys.select(col(id), explode(array((0 until numBands).map(i =>
-        struct(lit(i).as("band"), col(s"k$i").as("key"))): _*)).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+    val banded = bandKeys(docs, n, numBands, seed, id, text)
     banded.as("a").join(banded.as("b"), Seq("band", "key"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
+  }
+
+  /** NEAR-DUP-level benchmark decontamination: corpus docs whose
+    * n-gram Jaccard vs ANY eval/benchmark doc reaches `minJ` — the
+    * fuzzy upgrade of [[contaminated]] (which counts shared n-grams:
+    * an eval answer paraphrased with a few word swaps sails past an
+    * overlap threshold scaled for verbatim leakage, but not past a
+    * Jaccard one). Returns per contaminated doc its match count and
+    * max Jaccard.
+    *
+    * Scale shape (bench small by construction, like [[contaminated]]):
+    * MinHash band keys on both sides, the BENCH side broadcast into
+    * the blocking join, so the corpus is scanned, never shuffled;
+    * candidates (≤ |matching docs| × |bench|) broadcast back against a
+    * candidate-pruned shingle-set build (only matched docs' shingles
+    * ever aggregate), and the exact-Jaccard re-score keeps precision
+    * 1.0. Recall is banding recall (1-(1-J)^bands per pair) — the
+    * candidate-completeness property OpsSpec pins empirically for the
+    * self-join path applies unchanged (a cross pair IS a corpus pair).
+    */
+  def fuzzyContaminated(docs: DataFrame, bench: DataFrame, n: Int = 3,
+                        minJ: Double = 0.5, numBands: Int = 8,
+                        seed: Long = 42L, id: String = "doc_id",
+                        text: String = "text"): DataFrame = {
+    val cand = bandKeys(docs, n, numBands, seed, id, text)
+      .join(broadcast(bandKeys(bench, n, numBands, seed, id, text)
+        .withColumnRenamed(id, "__bid")), Seq("band", "key"))
+      .select(col(id), col("__bid")).distinct()
+    val candIds = cand.select(col(id)).distinct()
+    val docSets = wordShingles(docs.join(broadcast(candIds), Seq(id)),
+        n, id, text)
+      .groupBy(col(id)).agg(collect_set(col("shingle")).as("__sh"))
+    val benchSets = wordShingles(bench, n, id, text)
+      .groupBy(col(id)).agg(collect_set(col("shingle")).as("__bsh"))
+      .withColumnRenamed(id, "__bid")
+    val inter = size(array_intersect(col("__sh"), col("__bsh")))
+      .cast("double")
+    val uni = (size(col("__sh")) + size(col("__bsh"))).cast("double") - inter
+    docSets.join(broadcast(cand), Seq(id))
+      .join(broadcast(benchSets), Seq("__bid"))
+      .select(col(id), (inter / uni).as("j"))
+      .filter(col("j") >= minJ)
+      .groupBy(col(id))
+      .agg(count(lit(1)).as("n_matches"), round(max(col("j")), 6).as("max_j"))
   }
 
   /** Near-dup pairs at scale: MinHash banding for candidate generation

@@ -104,6 +104,35 @@ class OpsSpec extends SparkSpec {
     assert(gotBest.size == expected.size)
   }
 
+  test("fuzzyContaminated matches brute-force cross Jaccard; joins broadcast") {
+    val corpus = docs.filter($"doc_id" % 50 =!= 0)
+    val bench = docs.filter($"doc_id" % 50 === 0)
+    def sets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[String]] =
+      Dedup.wordShingles(df, 3).as[(Long, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val cs = sets(corpus); val bs = sets(bench)
+    val expected = cs.flatMap { case (d, s) =>
+      val js = bs.values.toSeq.map { t =>
+        val i = (s & t).size
+        i.toDouble / (s.size + t.size - i)
+      }.filter(_ >= 0.5)
+      if (js.isEmpty) None
+      else Some(d -> (js.size.toLong,
+        BigDecimal(js.max).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble))
+    }
+    val out = Dedup.fuzzyContaminated(corpus, bench, n = 3, minJ = 0.5)
+    val got = out.as[(Long, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got == expected, s"got=$got expected=$expected")
+    assert(got.nonEmpty, "fixture must plant at least one fuzzy leak")
+    // the bench/candidate sides ride broadcasts — no sort-merge join
+    // ever touches the corpus
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") &&
+      !plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
   test("mixToBudget derives rates from token mass; unbiased kept mass; keep-all default") {
     import graft.ops.Sampling
     val toks = docs.select($"doc_id", $"source",
