@@ -104,6 +104,15 @@ object Pipeline {
       s"$runDir has incremental extract versions — resume a crashed " +
         "ingest with runIncremental (same runId), or start a fresh runDir")
 
+    // a recompute (resume=false) invalidates any pinned epoch the same
+    // way a global relink does — the epoch state describes the
+    // PREVIOUS run's entity set; drop it so a later pinned ingest
+    // fails fast until pinEpoch re-freezes. A pure resume leaves the
+    // (still-valid) epoch alone.
+    if (!resume)
+      Seq("ep_census", "ep_keys", "ep_shingles")
+        .foreach(st => Snapshots.deleteDir(Snapshots.stageDir(runDir, st)))
+
     // Stage 1 — extraction. repartitionByRange(repo, path) gives
     // deterministic per-partition lineage and co-locates each repo's
     // files (north star verbatim).
