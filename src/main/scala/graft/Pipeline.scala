@@ -248,7 +248,11 @@ object Pipeline {
   //     re-shingled) and appends the new edges,
   //   - recomputes only CC + the node/edge materialization (narrow).
   // Contract: the maintained graph equals a from-scratch run UNDER THE
-  // PINNED CENSUS (spec-gated in PipelineSpec); equality to an
+  // PINNED CENSUS (spec-gated in PipelineSpec), PROVIDED no band
+  // bucket exceeds Linking.Config.maxBandBucket — above that the
+  // from-scratch comparator star-restructures the bucket while the
+  // delta path scores delta-vs-all, a SUPERSET of true merges (see
+  // Linking.deltaFuzzyEdges's equality-scope note). Equality to an
   // unpinned from-scratch run is deliberately NOT promised — the
   // census is corpus-dependent, which is exactly why runIncremental
   // relinks globally. Re-pin (epoch bump) by running a global
@@ -418,9 +422,17 @@ object Pipeline {
   private def lineageVersions(runDir: String, stage: String): Seq[Int] = {
     val vs = Snapshots.versions(runDir, stage)
     if (vs.isEmpty) return Nil
+    // a lineage MUST be anchored by a full (non-delta) version: if the
+    // base snapshot was expire()d while delta appends remain, falling
+    // back to the oldest delta would silently drop the entire
+    // pre-delta corpus from every union — fail fast instead
     val lastFull = vs.filter(v =>
       !Snapshots.readManifestVersion(runDir, stage, v)
-        .metrics.get("delta").contains("true")).lastOption.getOrElse(vs.head)
+        .metrics.get("delta").contains("true")).lastOption.getOrElse(
+        throw new IllegalStateException(
+          s"stage '$stage' in $runDir has only delta versions ($vs) — " +
+            "its full base snapshot was expired; the lineage union " +
+            "would silently drop the pre-delta corpus"))
     vs.filter(_ >= lastFull)
   }
 

@@ -81,21 +81,40 @@ object SparkEntry {
     * the NEXT invocation, after the previous result was consumed.
     */
   private def freshScratch(tag: String): String = {
+    // PID-suffixed: two JVMs running these queries concurrently must
+    // not clear each other's scratch (the dirs are fixed per query so
+    // re-runs within ONE session reclaim their own space)
     val p = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), s"graft-q-$tag")
+      sys.props("java.io.tmpdir"), s"graft-q-${ProcessHandle.current.pid}-$tag")
     graft.store.Snapshots.deleteDir(p.toString)
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** A stable session-owned checkpoint dir — where [[withCheckpointDir]]
+    * points the session when there was NO checkpoint dir to restore:
+    * SparkContext cannot unset one, and leaving the query's scratch
+    * path in place would let the next freshScratch() wipe a directory
+    * a later checkpoint-using query is still writing into.
+    */
+  private lazy val sessionCheckpointDir: String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+      s"graft-session-ck-${ProcessHandle.current.pid}")
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
 
   /** Run `f` with the session checkpoint dir pointed at `dir`, then
     * RESTORE the previous checkpoint dir — a query must not mutate
-    * session-global state for whatever runs after it.
+    * session-global state for whatever runs after it. A previously
+    * UNSET dir restores to [[sessionCheckpointDir]] (never left
+    * pointing into query scratch about to be wiped).
     */
   private def withCheckpointDir[T](s: SparkSession, dir: String)(f: => T): T = {
     val prev = s.sparkContext.getCheckpointDir
     s.sparkContext.setCheckpointDir(dir)
-    try f finally prev.foreach(s.sparkContext.setCheckpointDir)
+    try f finally
+      s.sparkContext.setCheckpointDir(prev.getOrElse(sessionCheckpointDir))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

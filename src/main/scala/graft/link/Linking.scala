@@ -512,6 +512,16 @@ object Linking {
     * pathological bucket costs |delta ∩ bucket| × bucket pairs — the
     * linear regime by construction (the guard exists to stop s² blowup
     * in FULL relinks; delta-vs-all is already ≤ |delta| × s).
+    *
+    * EQUALITY SCOPE: because the delta path scores delta-vs-all while
+    * a from-scratch run restructures buckets above
+    * [[Config.maxBandBucket]] into center stars (which, after exact
+    * scoring, can MISS member↔member edges the delta path finds), the
+    * spec'd pinned-ingest ≡ from-scratch-under-pinned-census equality
+    * holds only for runs where no band bucket exceeds maxBandBucket.
+    * In oversized buckets the delta path links a SUPERSET of pairs —
+    * every one an exact Jaccard ≥ threshold (precision 1.0), so the
+    * divergence is extra true merges, never a wrong edge.
     */
   private[graft] def deltaFuzzyEdges(keysDelta: DataFrame, keysAll: DataFrame,
                                      shingledAll: DataFrame, cfg: Config,
@@ -527,10 +537,15 @@ object Linking {
         least(col("d.entityId"), col("a.entityId")).as("src"),
         greatest(col("d.entityId"), col("a.entityId")).as("dst"))
       .distinct()
-    val candHinted =
-      if (deltaKeyRows <= SkewJoin.BroadcastableRightRows) broadcast(cand)
-      else cand
-    scorePairs(candHinted, shingledAll, cfg, keepDist = false).distinct()
+    // NO broadcast hint on cand: |cand| = Σ over delta keys of their
+    // bucket sizes, and deltaKeyRows bounds only the DELTA factor —
+    // the stored buckets are unguarded here (the delta path skips the
+    // maxBandBucket star restructure, and the pinned census never
+    // stops shingles that became hot after the pin), so a small delta
+    // landing in pathological buckets can make cand arbitrarily large.
+    // AQE plans the scoring join from cand's RUNTIME size instead
+    // (broadcasts it when it really is small, shuffles when not).
+    scorePairs(cand, shingledAll, cfg, keepDist = false).distinct()
   }
 
   /** Exact-norm delta edges: connect each delta form into its

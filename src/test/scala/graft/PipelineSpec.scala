@@ -183,6 +183,11 @@ class PipelineSpec extends SparkSpec {
     assert(ex2.getMessage.contains("runIncremental"), ex2.getMessage)
   }
 
+  // Equality scope: holds for runs where no band bucket exceeds
+  // maxBandBucket — oversized buckets are star-restructured by the
+  // from-scratch comparator but scored delta-vs-all by the delta path
+  // (a superset of true merges; Linking.deltaFuzzyEdges). This corpus
+  // stays far below the 10k default cap, so the contract applies.
   test("epoch-pinned ingest equals from-scratch under the pinned census; delta appends only") {
     val all = FilesGen.local(n)
     val (a, b) = all.splitAt(n * 3 / 4)
