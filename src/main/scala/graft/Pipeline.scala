@@ -40,7 +40,38 @@ object Pipeline {
       // size it to the corpus the way you'd size maxPartitionBytes at
       // 100 TB — a 2k-file smoke corpus has no use for 32 near-empty
       // tasks × pred partition dirs.
-      arrangePartitions: Option[Int] = None
+      arrangePartitions: Option[Int] = None,
+      // CANONICAL-BUCKET layout (opt-in): when Some(B), the assign /
+      // nodes / edges snapshots gain a cb = pmod(canonicalId, B)
+      // partition column, which is what lets an epoch-pinned ingest
+      // REWRITE ONLY THE BUCKETS whose canonical components changed
+      // (Snapshots.stagePatch) instead of recomputing the tables
+      // globally. B is baked into the snapshot layout (recorded in the
+      // manifests); size it so one bucket ≈ a comfortable task input
+      // at the corpus scale — B is the knob that keeps per-merge patch
+      // IO ≈ |touched buckets| × corpus/B as the corpus grows (the
+      // same sizing contract as maxPartitionBytes). None (default) =
+      // today's layout, zero cost to non-incremental runs.
+      canonBuckets: Option[Int] = None,
+      // Use the O(delta) canonicalize tail on pinned ingests (driver
+      // union-find over the delta's component-pair graph + bucket
+      // patches). Requires canonBuckets on the base run; falls back to
+      // the global tail when preconditions fail. false = always global
+      // (the A/B lever IncrementalBench measures).
+      incrementalCanon: Boolean = true,
+      // Refuse a pinned ingest whose census drift exceeds this bound
+      // (fraction of the delta's distinct (pred, shingle) keys whose
+      // hot/stop classification differs between the pinned census and
+      // a fresh census at the current corpus size). None = record the
+      // drift in the manifest but never refuse.
+      maxCensusDrift: Option[Double] = None,
+      // Fraction of the stored shingle table the drift measurement
+      // scans (dfs are scaled by 1/driftSample before the cap
+      // comparison). 1.0 = exact. At extreme corpus sizes sample the
+      // census instead of rescanning it — the metric guides a re-pin
+      // decision, it does not need exact dfs (shingles far from the
+      // cap classify identically under any reasonable sample).
+      driftSample: Double = 1.0
   )
 
   final case class Result(
@@ -81,13 +112,24 @@ object Pipeline {
     * crosses preds).
     */
   def nodeTable(assign: DataFrame): DataFrame =
+    nodeTableFull(assign)
+      .select("canonicalId", "canonical", "kind", "memberCount")
+
+  /** [[nodeTable]] plus `canonicalNorm` — the norm of the (norm, obj)-
+    * minimal member. The SNAPSHOT keeps it because the min is only
+    * recombinable across comp merges from the full argmin PAIR: an
+    * incremental ingest rebuilds a merged component's node row from
+    * the constituent rows' (canonicalNorm, canonical) structs without
+    * touching member rows (min/min/sum are associative).
+    */
+  def nodeTableFull(assign: DataFrame): DataFrame =
     assign.groupBy("canonicalId")
       .agg(
         min(struct(col("norm"), col("obj"))).as("m"),
         min(col("pred")).as("kind"),
         count(lit(1)).as("memberCount"))
-      .select(col("canonicalId"), col("m.obj").as("canonical"), col("kind"),
-        col("memberCount"))
+      .select(col("canonicalId"), col("m.obj").as("canonical"),
+        col("m.norm").as("canonicalNorm"), col("kind"), col("memberCount"))
 
   def run(spark: SparkSession, files: Dataset[SourceFile], runDir: String,
           runId: String, cfg: Config = Config()): Result = {
@@ -368,7 +410,33 @@ object Pipeline {
       Linking.shingleTable(
         newEnts.filter(col("pred").isin(Linking.FuzzyPreds: _*)), cfg.link)
     }
-    val deltaKeys = appendOnce(spark, runDir, "ep_keys", runId) {
+
+    // 3b. CENSUS DRIFT — what the frozen epoch is silently costing:
+    // of the delta's distinct (pred, shingle) keys, the fraction whose
+    // hot/stop classification DIFFERS between the pinned census and a
+    // fresh census at the current corpus size (fresh cap = the cap a
+    // global relink would use right now). A drifted-to-hot shingle
+    // still blocks for the delta (extra candidates — cost, not
+    // recall); a drifted-to-stop one means the pin keeps surfacing
+    // candidates a fresh run would drop. Exact per-shingle dfs come
+    // from one broadcast-filtered scan of the stored shingle lineage
+    // (delta-bounded aggregate, map-side combined); Config.driftSample
+    // trades that scan for a sampled estimate at extreme scale. The
+    // metric lands in this ingest's ep_keys manifest; Config.
+    // maxCensusDrift turns it into a refusal (recover by running the
+    // SAME runId through runIncremental — the global relink, which
+    // bumps the epoch — then pinEpoch).
+    val drift = censusDrift(spark, runDir, cfg, hot, deltaShingled,
+      deltaExtractRows)
+    cfg.maxCensusDrift.foreach { th =>
+      require(drift <= th,
+        f"census drift $drift%.4f exceeds maxCensusDrift $th%.4f — the " +
+          s"pinned epoch is stale; re-pin: runIncremental(runId=$runId) " +
+          "(global relink, bumps the epoch) then pinEpoch")
+    }
+
+    val deltaKeys = appendOnce(spark, runDir, "ep_keys", runId,
+      Map("censusDrift" -> f"$drift%.6f")) {
       Linking.bandedKeyTable(deltaShingled, cfg.link, hot)
     }
     val deltaKeyRows = Snapshots.versions(runDir, "ep_keys")
@@ -379,24 +447,279 @@ object Pipeline {
 
     // 4. new edges = delta-vs-all (exact-norm + banded fuzzy), each
     // pair carrying >=1 delta endpoint — disjoint from stored edges
-    appendOnce(spark, runDir, "link_edges", runId) {
+    val deltaLinks = appendOnce(spark, runDir, "link_edges", runId) {
       val keysAll = lineageUnion(spark, runDir, "ep_keys")
       val shingledAll = lineageUnion(spark, runDir, "ep_shingles")
       Linking.deltaExactEdges(entsOld, newEnts, deltaExtractRows)
         .unionByName(Linking.deltaFuzzyEdges(deltaKeys, keysAll,
           shingledAll, cfg.link, deltaKeyRows))
     }
+    val deltaLinkRows = Snapshots.versions(runDir, "link_edges")
+      .flatMap(v => {
+        val m = Snapshots.readManifestVersion(runDir, "link_edges", v)
+        if (m.runId == runId) Some(m.rows) else None
+      }).sum
 
-    // 5. canonicalize + materialize over the full (narrow) unions
-    val allTriples = Snapshots.versions(runDir, "extract")
-      .map(v => Snapshots.readVersion(spark, runDir, "extract", v))
-      .reduce(_ unionByName _)
-      .withColumn("subj", concat($"repo", lit("/"), $"path"))
-      .filter(!$"q".cast("boolean")).drop("q")
-    val ccIters = canonicalize(spark, runDir, runId, cfg, allTriples,
-      lineageUnion(spark, runDir, "entities"),
-      lineageUnion(spark, runDir, "link_edges"), resume = false)
+    // 5. canonicalize + materialize: O(delta) bucket patches when the
+    // layout and bounds allow (see incrementalCanonicalize), else the
+    // global tail over the full (narrow) unions
+    val ccIters = incrementalCanonicalize(spark, runDir, runId, cfg,
+      deltaTriples, newEnts, deltaLinks, deltaLinkRows, deltaExtractRows)
+      .getOrElse {
+        val allTriples = Snapshots.versions(runDir, "extract")
+          .map(v => Snapshots.readVersion(spark, runDir, "extract", v))
+          .reduce(_ unionByName _)
+          .withColumn("subj", concat($"repo", lit("/"), $"path"))
+          .filter(!$"q".cast("boolean")).drop("q")
+        canonicalize(spark, runDir, runId, cfg, allTriples,
+          lineageUnion(spark, runDir, "entities"),
+          lineageUnion(spark, runDir, "link_edges"), resume = false)
+      }
     resultFrom(runDir, runId, ccIters)
+  }
+
+  // ------------------------------------------------------------------
+  // O(delta) canonicalize tail. The pinned path above made extraction
+  // and linking delta-proportional, but a global CC + full rewrite of
+  // assign/nodes/edges per ingest reads AND writes the whole corpus —
+  // at daily ingests over 10^12 files that tail IS the cost. The
+  // observation that makes it incremental: delta link edges can only
+  //   (a) land inside one existing component — a no-op, or
+  //   (b) MERGE components — and the set of touched components is
+  //       bounded by the delta edge count.
+  // So: resolve the delta edges' endpoints to their current canonical
+  // ids (ONE broadcast-filtered narrow scan of the stored assign
+  // table — the same probe-scan shape as the stored-key scans above),
+  // union-find the resulting component-pair graph ON THE DRIVER
+  // (bounded by the delta, same driver-capacity contract as
+  // ConnectedComponents' local fast path), then publish COPY-ON-WRITE
+  // PATCHES (Snapshots.stagePatch) that rewrite only the cb buckets
+  // whose components changed:
+  //   assign — rewrite buckets of merged-away roots (their member
+  //            rows remap to the new root and leave the bucket);
+  //            append the delta entities' rows;
+  //   nodes  — rewrite buckets of every old root in the pair graph
+  //            (absorbed rows vanish, absorbing rows recombine);
+  //            merged rows rebuild from the constituent node rows'
+  //            (canonicalNorm, canonical) argmin structs + the delta
+  //            members' aggregate — min/min/sum are associative, so
+  //            NO member rows are read;
+  //   edges  — rewrite buckets of merged-away roots (remap
+  //            canonicalId); append the delta triples' edges.
+  // Per-ingest IO = |touched buckets| × corpus/B reads + delta-sized
+  // writes; Config.canonBuckets is the knob that holds bucket size
+  // flat as the corpus grows. Equality with the global tail is
+  // spec-gated (PipelineSpec) and the path is oracle-gated end to end
+  // (kg_nodes_pinned).
+  // ------------------------------------------------------------------
+
+  /** Returns Some(ccIterations=0) when the incremental tail ran, None
+    * when the caller must fall back to the global tail: canonBuckets
+    * unset or mismatched with the stored layout, delta beyond the
+    * driver/broadcast bounds, or a crash-retry that finds the three
+    * tail stages PARTIALLY patched by this runId (the pair graph can
+    * only be derived from the pre-patch assign, so a half-applied
+    * ingest recovers through the global tail — correct, just not
+    * O(delta)). A FULLY patched retry is a no-op (idempotent per
+    * runId, like every appended stage).
+    */
+  private def incrementalCanonicalize(spark: SparkSession, runDir: String,
+                                      runId: String, cfg: Config,
+                                      deltaTriples: DataFrame,
+                                      newEnts: DataFrame,
+                                      deltaLinks: DataFrame,
+                                      deltaLinkRows: Long,
+                                      deltaExtractRows: Long): Option[Int] = {
+    import spark.implicits._
+    val Tail = Seq("assign", "nodes", "edges")
+    val b = cfg.canonBuckets match {
+      case Some(v) if cfg.incrementalCanon => v
+      case _ => return None
+    }
+    // a tail stage whose live manifest is missing (crash window) can
+    // only be healed by the global tail; and the stored layout must
+    // carry the SAME bucketing (cb is baked into the partition dirs)
+    if (!Tail.forall(st => Snapshots.isComplete(runDir, st))) return None
+    if (!Tail.forall(st => Snapshots.readManifest(runDir, st)
+      .metrics.get("canonBuckets").contains(b.toString))) return None
+    // bounds: the probe set, delta maps, and pair graph all ride the
+    // driver/broadcast — the same capacity contracts as the rest of
+    // the pinned path (BroadcastableRightRows) and the CC fast path
+    // (ccLocalThreshold)
+    if (deltaExtractRows > SkewJoin.BroadcastableRightRows ||
+      deltaLinkRows > cfg.ccLocalThreshold) return None
+    // crash-retry idempotence
+    val done = Tail.map(st => Snapshots.readManifest(runDir, st).runId == runId)
+    if (done.forall(identity)) return Some(0)
+    if (done.exists(identity)) return None
+
+    def bucketOf(id: Long): Int = (((id % b) + b) % b).toInt
+
+    // --- 1. ONE narrow probe scan of the stored assign table:
+    // current canonical of every delta edge endpoint and every old
+    // form the delta triples re-mention. All ids outside the probe
+    // result are NEW (delta) entities (extraction anti-joined
+    // duplicates away, so delta ids are disjoint from stored ids).
+    val assignOld = Snapshots.read(spark, runDir, "assign")
+    val tripleIds = deltaTriples
+      .select(Linking.idCol($"pred", $"obj").as("id"))
+      .distinct().as[Long].collect()
+    val endIds = deltaLinks.select($"src".as("id"))
+      .unionByName(deltaLinks.select($"dst".as("id")))
+      .distinct().as[Long].collect()
+    val needed = (tripleIds ++ endIds).distinct
+    val oldCanon = scala.collection.mutable.LongMap.empty[Long]
+    assignOld.select($"entityId", $"canonicalId")
+      .join(broadcast(needed.toSeq.toDF("entityId")), Seq("entityId"))
+      .as[(Long, Long)].collect()
+      .foreach { case (e, c) => oldCanon(e) = c }
+
+    // --- 2. driver union-find over the component-pair graph (min-id
+    // roots — identical semantics to both ConnectedComponents paths)
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent(r)
+      var c = x
+      while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    val oldRoots = scala.collection.mutable.LongMap.empty[Unit]
+    val touched = scala.collection.mutable.LongMap.empty[Unit]
+    def rep(e: Long): Long = oldCanon.get(e) match {
+      case Some(c) => oldRoots(c) = (); c
+      case None    => e
+    }
+    deltaLinks.select($"src", $"dst").as[(Long, Long)]
+      .mapPartitions { it =>
+        val buf = scala.collection.mutable.ArrayBuilder.make[Long]
+        it.foreach { case (a, x) => buf += a; buf += x }
+        Iterator.single(buf.result())
+      }.collect().foreach { arr =>
+        var i = 0
+        while (i < arr.length) {
+          val ra = find(rep(arr(i))); val rb = find(rep(arr(i + 1)))
+          if (ra != rb) {
+            parent(math.max(ra, rb)) = math.min(ra, rb)
+            touched(ra) = (); touched(rb) = ()
+          }
+          i += 2
+        }
+      }
+    // roots that actually merged (vs. delta edges that landed inside
+    // one existing component — no-ops)
+    val mergedOldRoots = touched.keysIterator
+      .filter(r => oldRoots.contains(r) && find(r) != r).toArray
+    val changedOldRoots = touched.keysIterator
+      .filter(oldRoots.contains).toArray // absorbed OR absorbing
+    val deltaMoved = touched.keysIterator
+      .filterNot(oldRoots.contains).toArray // delta ids in real merges
+
+    // --- 3. driver-bounded maps shipped back as broadcast frames
+    val rootMapDf = mergedOldRoots.toSeq
+      .map(r => (r, find(r))).toDF("canonicalId", "newCanon")
+    val deltaCompDf = deltaMoved.toSeq
+      .map(d => (d, find(d))).filter { case (d, f) => f != d }
+      .toDF("entityId", "comp")
+    // final canonical of every distinct delta-triple form (old forms:
+    // stored canonical, then through the root remap; new forms: their
+    // union-find root or themselves)
+    val finalCanonDf = tripleIds.toSeq.map { id =>
+      (id, find(oldCanon.getOrElse(id, id)))
+    }.toDF("entityId", "fc")
+
+    val cbOf = (c: org.apache.spark.sql.Column) =>
+      pmod(c, lit(b.toLong)).cast("int")
+    def dirs(roots: Array[Long]): Seq[String] =
+      roots.map(bucketOf).distinct.toSeq.map(v => s"cb=$v")
+    def buckets(roots: Array[Long]): Seq[Int] =
+      roots.map(bucketOf).distinct.toSeq
+    val tailMetrics = Map(
+      "canonBuckets" -> b.toString,
+      "ccIterations" -> "0",
+      "merges" -> mergedOldRoots.length.toString,
+      "delta" -> "patch")
+
+    // --- 4. assign patch: member rows of merged-away roots remap (and
+    // leave their bucket — those buckets rewrite); delta entity rows
+    // append wherever their canonical lands
+    val aBuckets = buckets(mergedOldRoots)
+    val deltaAssign = newEnts
+      .join(broadcast(deltaCompDf), Seq("entityId"), "left")
+      .select($"pred", $"obj", $"norm", $"entityId",
+        coalesce($"comp", $"entityId").as("canonicalId"))
+    Snapshots.stagePatch(spark, runDir, "assign", runId,
+      dirs(mergedOldRoots), Seq("ident", "cb"), tailMetrics) {
+      val oldRows = assignOld
+        .filter(if (aBuckets.isEmpty) lit(false) else $"cb".isin(aBuckets: _*))
+        .select($"pred", $"obj", $"norm", $"entityId", $"canonicalId")
+      val remapped = oldRows
+        .join(broadcast(rootMapDf), Seq("canonicalId"), "left")
+        .select($"pred", $"obj", $"norm", $"entityId",
+          coalesce($"newCanon", $"canonicalId").as("canonicalId"))
+      remapped.unionByName(deltaAssign)
+        .withColumn("ident", $"canonicalId" === $"entityId")
+        .withColumn("cb", cbOf($"canonicalId"))
+    }
+
+    // --- 5. nodes patch: every old root in a real merge loses or
+    // recombines its row; merged rows rebuild from the constituent
+    // rows + the delta members' aggregate (no member rows read)
+    val nodesOld = Snapshots.read(spark, runDir, "nodes")
+    val nBuckets = buckets(changedOldRoots)
+    val changedDf = changedOldRoots.toSeq
+      .map(r => (r, find(r))).toDF("canonicalId", "fRoot")
+    Snapshots.stagePatch(spark, runDir, "nodes", runId,
+      dirs(changedOldRoots), Seq("kind", "cb"), tailMetrics) {
+      val pruned = nodesOld
+        .filter(if (nBuckets.isEmpty) lit(false) else $"cb".isin(nBuckets: _*))
+        .select($"canonicalId", $"canonical", $"canonicalNorm", $"kind",
+          $"memberCount")
+      val keep = pruned
+        .join(broadcast(changedDf.select($"canonicalId")), Seq("canonicalId"),
+          "left_anti")
+      val oldContrib = pruned
+        .join(broadcast(changedDf), Seq("canonicalId"))
+        .select($"fRoot".as("canonicalId"),
+          struct($"canonicalNorm".as("norm"), $"canonical".as("obj")).as("m"),
+          $"kind", $"memberCount")
+      val deltaContrib = deltaAssign.groupBy($"canonicalId")
+        .agg(min(struct($"norm", $"obj")).as("m"),
+          min($"pred").as("kind"), count(lit(1)).as("memberCount"))
+      val combined = oldContrib.unionByName(deltaContrib)
+        .groupBy($"canonicalId")
+        .agg(min($"m").as("m"), min($"kind").as("kind"),
+          sum($"memberCount").as("memberCount"))
+        .select($"canonicalId", $"m.obj".as("canonical"),
+          $"m.norm".as("canonicalNorm"), $"kind", $"memberCount")
+      keep.unionByName(combined).withColumn("cb", cbOf($"canonicalId"))
+    }
+
+    // --- 6. edges patch: stored edge rows change ONLY when their
+    // canonicalId was a merged-away root (absorbing roots keep their
+    // id); the delta's own triples append
+    val edgesOld = Snapshots.read(spark, runDir, "edges")
+    Snapshots.stagePatch(spark, runDir, "edges", runId,
+      dirs(mergedOldRoots), Seq("pred", "cb"), tailMetrics) {
+      val pruned = edgesOld
+        .filter(if (aBuckets.isEmpty) lit(false) else $"cb".isin(aBuckets: _*))
+        .select($"subj", $"pred", $"canonicalId", $"conf", $"repo",
+          $"path", $"commit")
+      val remapped = pruned
+        .join(broadcast(rootMapDf), Seq("canonicalId"), "left")
+        .select($"subj", $"pred",
+          coalesce($"newCanon", $"canonicalId").as("canonicalId"),
+          $"conf", $"repo", $"path", $"commit")
+      val deltaE = deltaTriples
+        .withColumn("subj", concat($"repo", lit("/"), $"path"))
+        .withColumn("entityId", Linking.idCol($"pred", $"obj"))
+        .join(broadcast(finalCanonDf), Seq("entityId"), "left")
+        .select($"subj", $"pred",
+          coalesce($"fc", $"entityId").as("canonicalId"),
+          $"conf", $"repo", $"path", $"commit")
+      remapped.unionByName(deltaE).withColumn("cb", cbOf($"canonicalId"))
+    }
+    Some(0)
   }
 
   /** Append a DELTA snapshot version, idempotent per runId: a
@@ -404,14 +727,51 @@ object Pipeline {
     * back instead of appending a duplicate.
     */
   private def appendOnce(spark: SparkSession, runDir: String,
-                         stage: String, runId: String)
+                         stage: String, runId: String,
+                         extraMetrics: Map[String, String] = Map.empty)
                         (compute: => DataFrame): DataFrame = {
     Snapshots.versions(runDir, stage).find(v =>
       Snapshots.readManifestVersion(runDir, stage, v).runId == runId) match {
       case Some(v) => Snapshots.readVersion(spark, runDir, stage, v)
       case None => Snapshots.stage(spark, runDir, stage, runId,
-        resume = false, metrics = Map("delta" -> "true"))(compute)
+        resume = false,
+        metrics = Map("delta" -> "true") ++ extraMetrics)(compute)
     }
+  }
+
+  /** The drift measurement behind Config.maxCensusDrift (see the call
+    * site in [[runIncrementalPinned]]). Returns 0.0 for an ingest with
+    * no fuzzy delta shingles.
+    */
+  private def censusDrift(spark: SparkSession, runDir: String, cfg: Config,
+                          hot: Seq[(String, Long)], deltaShingled: DataFrame,
+                          deltaExtractRows: Long): Double = {
+    import spark.implicits._
+    val deltaSh = deltaShingled
+      .select($"pred", explode($"shingles").as("sh")).distinct()
+    val hinted =
+      if (deltaExtractRows <= SkewJoin.BroadcastableRightRows)
+        broadcast(deltaSh)
+      else deltaSh
+    val nEnts = lineageVersions(runDir, "entities").map(v =>
+      Snapshots.readManifestVersion(runDir, "entities", v).rows).sum
+    val freshCap = cfg.link.stopShingleCap(nEnts)
+    val stored = lineageUnion(spark, runDir, "ep_shingles")
+    val sampled =
+      if (cfg.driftSample >= 1.0) stored
+      else stored.sample(withReplacement = false, cfg.driftSample, 42L)
+    val dfs = sampled.select($"pred", explode($"shingles").as("sh"))
+      .join(hinted, Seq("pred", "sh"))
+      .groupBy($"pred", $"sh")
+      .agg((count(lit(1)) / lit(cfg.driftSample)).as("df"))
+    val pinnedDf = hot.toDF("pred", "sh").withColumn("hp", lit(true))
+    val row = dfs.join(broadcast(pinnedDf), Seq("pred", "sh"), "left")
+      .select((($"df" > lit(freshCap.toDouble)) =!=
+        coalesce($"hp", lit(false))).as("differs"))
+      .agg(count(lit(1)).as("n"), sum($"differs".cast("long")).as("d"))
+      .head()
+    if (row.getLong(0) == 0L) 0.0
+    else row.getLong(1).toDouble / row.getLong(0).toDouble
   }
 
   /** Versions forming the current lineage of an appendable stage: the
@@ -505,16 +865,30 @@ object Pipeline {
     // Stage 3 — connected components → canonical id per entity.
     // Singleton entities (no link edge) canonicalize to themselves.
     var ccIters = 0
+    // opt-in canonical-bucket layout (see Config.canonBuckets): cb
+    // partition column + a repartition on the partition columns so the
+    // file count stays ≈ #partition dirs instead of tasks × dirs
+    val cbMetrics = cfg.canonBuckets
+      .map(b => Map("canonBuckets" -> b.toString)).getOrElse(Map.empty)
+    def withCb(df: DataFrame): DataFrame = cfg.canonBuckets
+      .map(b => df.withColumn("cb",
+        pmod($"canonicalId", lit(b.toLong)).cast("int"))).getOrElse(df)
+    def arranged(df: DataFrame, parts: Seq[String]): DataFrame =
+      if (cfg.canonBuckets.isDefined) df.repartition(parts.map(col): _*)
+      else df
+    def partCols(base: Seq[String]): Seq[String] =
+      base ++ (if (cfg.canonBuckets.isDefined) Seq("cb") else Nil)
     // partitioned by `ident` (canonical == self) so the edges stage can
     // read the small non-identity DELTA slice partition-pruned, and
     // count it from the manifest's partition-dir lineage with no job
     val assign = Snapshots.stage(spark, runDir, "assign", runId, resume,
-      partitionBy = Seq("ident"),
-      metrics = Map("ccIterations" -> ccIters.toString)) {
+      partitionBy = partCols(Seq("ident")),
+      metrics = Map("ccIterations" -> ccIters.toString) ++ cbMetrics) {
       val (a, iters) = assignCanonical(ents, links, cfg.hotThreshold,
         cfg.ccLocalThreshold)
       ccIters = iters
-      a.withColumn("ident", $"canonicalId" === $"entityId")
+      arranged(withCb(a.withColumn("ident", $"canonicalId" === $"entityId")),
+        partCols(Seq("ident")))
     }
     // cross-version resume guard: the edges stage needs the assign
     // snapshot's ident column/partitioning (the delta-map rewrite). A
@@ -526,10 +900,12 @@ object Pipeline {
         "schema; cross-version resume is unsupported — re-run with " +
         "resume=false or a fresh runDir")
 
-    // Stage 4a — nodes (shared nodeTable logic).
+    // Stage 4a — nodes (shared nodeTable logic; the snapshot keeps the
+    // canonicalNorm argmin column so comp merges recombine, see
+    // nodeTableFull).
     val nodes = Snapshots.stage(spark, runDir, "nodes", runId, resume,
-      partitionBy = Seq("kind")) {
-      nodeTable(assign)
+      partitionBy = partCols(Seq("kind")), metrics = cbMetrics) {
+      arranged(withCb(nodeTableFull(assign)), partCols(Seq("kind")))
     }
 
     // Stage 4b — edges: triples rewritten onto canonical ids via the
@@ -545,19 +921,19 @@ object Pipeline {
     // strictly smaller than the full 1:1 map the previous design
     // joined (AQE covers hub-entity skew there).
     val edges = Snapshots.stage(spark, runDir, "edges", runId, resume,
-      partitionBy = Seq("pred")) {
+      partitionBy = partCols(Seq("pred")), metrics = cbMetrics) {
       val withId = triples.withColumn("entityId", Linking.idCol($"pred", $"obj"))
       val deltaRows = Snapshots.readManifest(runDir, "assign").fileRows
-        .collect { case (f, n) if f.startsWith("ident=false/") => n }.sum
+        .collect { case (f, n) if f.contains("ident=false/") => n }.sum
       val delta = assign.filter(!$"ident".cast("boolean"))
         .select($"entityId", $"canonicalId")
       val joined =
         if (deltaRows <= SkewJoin.BroadcastableRightRows)
           withId.join(broadcast(delta), Seq("entityId"), "left")
         else withId.join(delta, Seq("entityId"), "left")
-      joined.select($"subj", $"pred",
+      arranged(withCb(joined.select($"subj", $"pred",
         coalesce($"canonicalId", $"entityId").as("canonicalId"), $"conf",
-        $"repo", $"path", $"commit")
+        $"repo", $"path", $"commit")), partCols(Seq("pred")))
     }
 
     ccIters

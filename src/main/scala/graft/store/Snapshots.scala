@@ -35,7 +35,12 @@ object Snapshots {
       // snapshot version (Iceberg-style time travel); None on
       // manifests written before versioning existed (data then lives
       // directly under the stage dir)
-      version: Option[Int] = None
+      version: Option[Int] = None,
+      // COPY-ON-WRITE patches (stagePatch): files CARRIED from earlier
+      // snapshots, keyed by stage-relative path (snap=<w>/...). The
+      // effective table = these + this version's own fileRows; `rows`
+      // counts both. None/empty on full snapshots.
+      baseFiles: Option[Map[String, Long]] = None
   )
 
   private val ManifestName = "_MANIFEST.json"
@@ -65,7 +70,7 @@ object Snapshots {
 
   /** Current snapshot of a stage (the one the live manifest points at). */
   def read(spark: SparkSession, runDir: String, stage: String): DataFrame =
-    spark.read.parquet(dataDir(runDir, stage, readManifest(runDir, stage)))
+    assemble(spark, runDir, stage, readManifest(runDir, stage))
 
   /** TIME TRAVEL: read a stage as of snapshot `version`. Every publish
     * keeps its data files under snap=<v>/ and its manifest as
@@ -77,7 +82,36 @@ object Snapshots {
     // verifies the manifest exists (a snapshot without one was never
     // published and must not be readable)
     val m = readManifestVersion(runDir, stage, version)
-    spark.read.parquet(dataDir(runDir, stage, m))
+    assemble(spark, runDir, stage, m)
+  }
+
+  /** The snapshot a manifest describes. A FULL snapshot is one parquet
+    * dir; a PATCH (baseFiles non-empty) assembles its own files plus
+    * the carried files of earlier snapshots — grouped per source
+    * snapshot so partition columns parse against each snapshot's own
+    * basePath (the Iceberg manifest-list read shape).
+    */
+  private def assemble(spark: SparkSession, runDir: String, stage: String,
+                       m: Manifest): DataFrame = {
+    val carried = m.baseFiles.getOrElse(Map.empty)
+    if (carried.isEmpty) return spark.read.parquet(dataDir(runDir, stage, m))
+    val sd = stageDir(runDir, stage)
+    val own = m.fileRows.keys.map(k => s"snap=${m.version.get}/$k")
+    (own ++ carried.keys).toVector
+      .groupBy(_.takeWhile(_ != '/')) // snap=<w>
+      .toSeq.sortBy(_._1)
+      .map { case (snapSeg, paths) =>
+        spark.read.option("basePath", s"$sd/$snapSeg")
+          .parquet(paths.map(p => s"$sd/$p"): _*)
+      }
+      .reduce(_ unionByName _)
+  }
+
+  /** Every file (stage-relative) a manifest's snapshot is made of. */
+  private def effectiveFiles(m: Manifest): Map[String, Long] = {
+    val ownPrefix = m.version.map(v => s"snap=$v/").getOrElse("")
+    m.fileRows.map { case (k, n) => s"$ownPrefix$k" -> n } ++
+      m.baseFiles.getOrElse(Map.empty)
   }
 
   /** All PUBLISHED versions of a stage, ascending. Published = the
@@ -119,6 +153,16 @@ object Snapshots {
     val current = readManifest(runDir, stage).version
     require(!current.contains(version),
       s"cannot expire the current snapshot v$version of $stage")
+    // copy-on-write patches CARRY files of earlier snapshots: deleting
+    // a snapshot some published patch still references would corrupt
+    // that (readable, possibly live) version
+    val prefix = s"snap=$version/"
+    versions(runDir, stage).filter(_ != version).foreach { v =>
+      val m = readManifestVersion(runDir, stage, v)
+      require(!m.baseFiles.exists(_.keys.exists(_.startsWith(prefix))),
+        s"cannot expire v$version of $stage: patch snapshot v$v still " +
+          "carries its files (expire v$v first)")
+    }
     deleteDir(snapshotDir(runDir, stage, version))
     Files.deleteIfExists(
       Paths.get(stageDir(runDir, stage), versionedManifestName(version)))
@@ -185,13 +229,7 @@ object Snapshots {
     if (resume && isComplete(runDir, stageName))
       return read(spark, runDir, stageName)
 
-    val live = liveVersion(runDir, stageName)
-    manifestVersions(runDir, stageName).filter(_ > live).foreach { v =>
-      Files.deleteIfExists(
-        Paths.get(stageDir(runDir, stageName), versionedManifestName(v)))
-      deleteDir(snapshotDir(runDir, stageName, v))
-    }
-    val version = live + 1
+    val version = prepareNextVersion(runDir, stageName)
     val dir = snapshotDir(runDir, stageName, version)
     val t0 = System.nanoTime()
     val df = compute
@@ -215,6 +253,71 @@ object Snapshots {
     writeManifest(sd, versionedManifestName(version), m)
     writeManifest(sd, ManifestName, m)
     spark.read.parquet(dir)
+  }
+
+  /** Orphan cleanup + next version number (shared publish prelude): a
+    * publish that crashed between the versioned manifest and the live
+    * pointer left invisible data — delete it and reuse its number.
+    */
+  private def prepareNextVersion(runDir: String, stageName: String): Int = {
+    val live = liveVersion(runDir, stageName)
+    manifestVersions(runDir, stageName).filter(_ > live).foreach { v =>
+      Files.deleteIfExists(
+        Paths.get(stageDir(runDir, stageName), versionedManifestName(v)))
+      deleteDir(snapshotDir(runDir, stageName, v))
+    }
+    live + 1
+  }
+
+  /** PARTIAL-OVERWRITE publish (the Iceberg copy-on-write MERGE
+    * shape): a new snapshot version whose data = `compute`'s output
+    * (written fresh under snap=<v+1>/) plus every file of the current
+    * snapshot NOT under one of `rewrittenDirs` — carried by reference
+    * in the manifest, never copied. `compute` must emit the FULL new
+    * content of every rewritten partition dir, and only genuinely NEW
+    * rows for any other dir (they land as appended files next to the
+    * carried ones). `rewrittenDirs` entries are single partition-path
+    * segments (e.g. "cb=7"): a carried file is dropped iff any of its
+    * path segments matches one.
+    *
+    * Same publish protocol as [[stage]] (data → versioned manifest →
+    * live pointer last), so a crashed patch is invisible and the
+    * retry republishes under the same version number.
+    */
+  def stagePatch(spark: SparkSession, runDir: String, stageName: String,
+                 runId: String, rewrittenDirs: Seq[String],
+                 partitionBy: Seq[String],
+                 metrics: => Map[String, String] = Map.empty)
+                (compute: => DataFrame): DataFrame = {
+    val base = readManifest(runDir, stageName)
+    require(base.version.isDefined,
+      s"stage $stageName predates snapshot versioning — cannot patch")
+    val version = prepareNextVersion(runDir, stageName)
+    val dir = snapshotDir(runDir, stageName, version)
+    val t0 = System.nanoTime()
+    val df = compute
+    val writer = df.write.mode(SaveMode.Overwrite)
+      .option("compression", StageCompression)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(dir)
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+
+    val rewritten = rewrittenDirs.toSet
+    val carried = effectiveFiles(base).filterNot { case (path, _) =>
+      path.split('/').exists(rewritten.contains)
+    }
+    val perFile = footerCounts(dir)
+    val m = Manifest(runId, stageName,
+      rows = perFile.values.sum + carried.values.sum,
+      fileRows = perFile, wallMs = wallMs,
+      metrics = metrics ++ Map("patched" -> "true",
+        "rewrittenDirs" -> rewrittenDirs.length.toString),
+      version = Some(version),
+      baseFiles = Some(carried))
+    val sd = stageDir(runDir, stageName)
+    writeManifest(sd, versionedManifestName(version), m)
+    writeManifest(sd, ManifestName, m)
+    assemble(spark, runDir, stageName, m)
   }
 
   /** Footer-derived per-file row counts for every *.parquet under

@@ -83,6 +83,42 @@ class PipelineSpec extends SparkSpec {
     deleteRec(Path.of(dir))
   }
 
+  test("stagePatch: copy-on-write partial overwrite — carried files, appends, chaining, expire guard") {
+    val dir = tmpDir("patch")
+    def readSet = Snapshots.read(spark, dir, "t")
+      .select("x", "b").as[(Long, Int)].collect().toSet
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("b")) {
+      Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)).toDF("x", "b")
+    }
+    // v2 rewrites b=0 (drops x=2, adds x=10) and APPENDS x=99 into the
+    // untouched b=2 — b=1 and the base b=2 file are carried by reference
+    Snapshots.stagePatch(spark, dir, "t", "p2", Seq("b=0"), Seq("b")) {
+      Seq((1L, 0), (10L, 0), (99L, 2)).toDF("x", "b")
+    }
+    assert(readSet == Set((1L, 0), (10L, 0), (3L, 1), (4L, 2), (99L, 2)))
+    val m2 = Snapshots.readManifest(dir, "t")
+    assert(m2.rows == 5 && m2.version.contains(2))
+    assert(m2.baseFiles.get.keys.forall(_.startsWith("snap=1/")))
+    assert(!m2.baseFiles.get.keys.exists(_.contains("/b=0/")))
+    // time travel: v1 still reads as the original full snapshot
+    assert(Snapshots.readVersion(spark, dir, "t", 1).count() == 4)
+    // chained patch: v3 rewrites b=2 (carrying b=1 from v1 AND the v2
+    // rewrite of b=0 + its b=2 append is superseded by the rewrite)
+    Snapshots.stagePatch(spark, dir, "t", "p3", Seq("b=2"), Seq("b")) {
+      Seq((7L, 2)).toDF("x", "b")
+    }
+    assert(readSet == Set((1L, 0), (10L, 0), (3L, 1), (7L, 2)))
+    assert(Snapshots.readManifest(dir, "t").rows == 4)
+    // expire guard: v1's files are carried by the published v2 and v3
+    // manifests — deleting them would corrupt readable snapshots
+    intercept[IllegalArgumentException](Snapshots.expire(dir, "t", 1))
+    // v2 is carried-from by v3 too (its b=1... no: v3 carries snap=1 and
+    // snap=2 files) — so v2 also refuses while v3 references it
+    intercept[IllegalArgumentException](Snapshots.expire(dir, "t", 2))
+    deleteRec(Path.of(dir))
+  }
+
   private def edgeSet(runDir: String): Set[(String, String, Long)] =
     Snapshots.read(spark, runDir, "edges")
       .select("subj", "pred", "canonicalId")
@@ -249,6 +285,158 @@ class PipelineSpec extends SparkSpec {
       Pipeline.runIncrementalPinned(spark, b.toDS(), inc, "ep-x", cfg(None))
     }
     assert(ex.getMessage.contains("pinEpoch"), ex.getMessage)
+  }
+
+  test("incremental canonicalize: O(delta) bucket patches equal the global tail across chained ingests") {
+    // purpose-built corpus with GUARANTEED cross-ingest merges: each
+    // norm class "wordN" gets its plain form in the base, an UPPER
+    // variant in delta 1 (even classes) and a trailing-dot variant in
+    // delta 2 (odd classes) — every variant file must link into an
+    // already-stored component. Deltas also RE-MENTION stored forms
+    // (b: the base's plain form; c: delta-1's upper variant, whose
+    // component merged an ingest earlier), exercising the edges
+    // patch's old-form canonical resolution through prior patches.
+    // New classes appear in each delta too (pure appends).
+    def f(name: String, forms: Seq[String]) = SourceFile("r", name, "c0",
+      "md", forms.map(w => s"q: $w?").mkString("\n"))
+    // 80 classes over 64 buckets: ~20 merged-away roots per delta
+    // touch a strict subset of buckets, so the patch manifests MUST
+    // carry untouched base files (asserted below)
+    val classes = (0 until 80).map(i => s"word$i")
+    val a = classes.zipWithIndex.map { case (w, i) => f(s"a$i.txt", Seq(w)) }
+    val b = classes.zipWithIndex.collect {
+      case (w, i) if i % 2 == 0 =>
+        f(s"b$i.txt", Seq(w.toUpperCase) ++
+          (if (i % 6 == 0) Seq(classes(i / 2)) else Nil)) // re-mention base
+    } ++ Seq(f("bnew1.txt", Seq("brandnew1")), f("bnew2.txt", Seq("brandnew2")))
+    val c = classes.zipWithIndex.collect {
+      case (w, i) if i % 2 == 1 =>
+        // i % 5 == 0 files also re-mention delta-1's stored upper
+        // variant of class 38 (a component that MERGED an ingest ago)
+        f(s"c$i.txt", Seq(w + ".") ++
+          (if (i % 5 == 0) Seq(classes(38).toUpperCase) else Nil))
+    } ++ Seq(f("cnew.txt", Seq("brandnew3")))
+    val all = a ++ b ++ c
+    def cfg = Pipeline.Config(canonBuckets = Some(64),
+      arrangePartitions = Some(4))
+
+    val inc = tmpDir("icc")
+    Pipeline.run(spark, a.toDS(), inc, "icc-base", cfg)
+    Pipeline.pinEpoch(spark, inc, "icc-pin", cfg)
+    val r1 = Pipeline.runIncrementalPinned(spark, b.toDS(), inc, "icc-d1", cfg)
+    val r2 = Pipeline.runIncrementalPinned(spark, c.toDS(), inc, "icc-d2", cfg)
+    assert(r1.linkEdges > 20 && r2.linkEdges > r1.linkEdges)
+
+    // the tail really PATCHED both times (no silent global fallback):
+    // live manifests carry files by reference and the patch marker
+    Seq("assign", "nodes", "edges").foreach { st =>
+      val m = Snapshots.readManifest(inc, st)
+      assert(m.metrics.get("patched").contains("true"), s"$st not patched")
+      assert(m.runId == "icc-d2" && m.baseFiles.exists(_.nonEmpty), st)
+      assert(m.metrics("canonBuckets") == "64", st)
+    }
+    // real merged-away roots in BOTH ingests (half the variant ids
+    // hash below their class root) — otherwise this test proves
+    // nothing about bucket rewrites
+    Seq(2, 3).foreach { v =>
+      assert(Snapshots.readManifestVersion(inc, "assign", v)
+        .metrics("merges").toLong > 0, s"assign v$v had no merges")
+    }
+
+    // graph equality vs a from-scratch run over A ∪ B ∪ C (asks is
+    // not a fuzzy pred: no census in play, so the unpinned comparator
+    // is exact)
+    val full = tmpDir("icc-full")
+    val rFull = Pipeline.run(spark, all.toDS(), full, "icc-fullrun", cfg)
+    assert(nodeSet(inc) == nodeSet(full))
+    assert(edgeSet(inc) == edgeSet(full))
+    assert(r2.nodes == rFull.nodes && r2.edges == rFull.edges &&
+      r2.entities == rFull.entities && r2.triples == rFull.triples)
+
+    // retry after FULL completion is a pure no-op (no version bump)
+    val vBefore = Snapshots.versions(inc, "edges")
+    val rRetry = Pipeline.runIncrementalPinned(spark, c.toDS(), inc,
+      "icc-d2", cfg)
+    assert(Snapshots.versions(inc, "edges") == vBefore)
+    assert(rRetry.copy(runId = "x") == r2.copy(runId = "x"))
+
+    // crash-retry HALF-APPLIED: nodes+edges manifests lost after the
+    // assign patch published → the retry must heal through the global
+    // tail (the pair graph is only derivable pre-patch) and still
+    // equal the from-scratch graph
+    val inc2 = tmpDir("icc2")
+    Pipeline.run(spark, a.toDS(), inc2, "icc-base", cfg)
+    Pipeline.pinEpoch(spark, inc2, "icc-pin", cfg)
+    Pipeline.runIncrementalPinned(spark, b.toDS(), inc2, "icc-d1", cfg)
+    Files.delete(Path.of(Snapshots.stageDir(inc2, "nodes"), "_MANIFEST.json"))
+    Files.delete(Path.of(Snapshots.stageDir(inc2, "edges"), "_MANIFEST.json"))
+    val rHeal = Pipeline.runIncrementalPinned(spark, b.toDS(), inc2,
+      "icc-d1", cfg)
+    val fullAb = tmpDir("icc-fullab")
+    Pipeline.run(spark, (a ++ b).toDS(), fullAb, "icc-fab", cfg)
+    assert(nodeSet(inc2) == nodeSet(fullAb))
+    assert(edgeSet(inc2) == edgeSet(fullAb))
+    assert(rHeal.nodes == Snapshots.readManifest(fullAb, "nodes").rows)
+
+    // incrementalCanon=false forces the global tail (the A/B lever):
+    // same graph, full rewrite
+    val inc3 = tmpDir("icc3")
+    Pipeline.run(spark, a.toDS(), inc3, "icc-base", cfg)
+    Pipeline.pinEpoch(spark, inc3, "icc-pin", cfg)
+    Pipeline.runIncrementalPinned(spark, b.toDS(), inc3, "icc-d1",
+      cfg.copy(incrementalCanon = false))
+    assert(!Snapshots.readManifest(inc3, "nodes").metrics.contains("patched"))
+    assert(nodeSet(inc3) == nodeSet(fullAb))
+  }
+
+  test("census drift: measured per pinned ingest, refuses a stale epoch, re-pin recovers") {
+    val all = FilesGen.local(n)
+    val (a, rest) = all.splitAt(n / 2)
+    val (b, c) = rest.splitAt(n / 4)
+    // cap = 1: any shingle reaching df 2 flips hot — on this long-tail
+    // fixture the delta re-mentions base singleton shingles, so the
+    // fresh census MUST diverge from the pinned one (drift > 0)
+    def cfgT(drift: Option[Double]) = Pipeline.Config(
+      link = graft.link.Linking.Config(exactSmallThreshold = 0L,
+        maxShingleDf = 1L, maxShingleDfFrac = 1e-12),
+      maxCensusDrift = drift)
+    val dir = tmpDir("drift")
+    Pipeline.run(spark, a.toDS(), dir, "dr-base", cfgT(None))
+    Pipeline.pinEpoch(spark, dir, "dr-pin", cfgT(None))
+
+    // a zero-tolerance bound refuses the ingest and names the recovery
+    val ex = intercept[IllegalArgumentException] {
+      Pipeline.runIncrementalPinned(spark, b.toDS(), dir, "dr-d1",
+        cfgT(Some(0.0)))
+    }
+    assert(ex.getMessage.contains("census drift") &&
+      ex.getMessage.contains("pinEpoch"), ex.getMessage)
+
+    // recovery exactly as the message prescribes: the SAME runId
+    // through the global relink (idempotent extract — the refused
+    // ingest's delta is reused, not re-extracted), then re-pin
+    assert(Snapshots.versions(dir, "extract").length == 2)
+    Pipeline.runIncremental(spark, b.toDS(), dir, "dr-d1", cfgT(None))
+    assert(Snapshots.versions(dir, "extract").length == 2, "no re-extract")
+    val fullAb = tmpDir("drift-fullab")
+    Pipeline.run(spark, (a ++ b).toDS(), fullAb, "dr-fab", cfgT(None))
+    assert(nodeSet(dir) == nodeSet(fullAb) && edgeSet(dir) == edgeSet(fullAb))
+
+    // after the re-pin, a further pinned ingest runs under the fresh
+    // census, records its drift, and equals from-scratch-under-census
+    Pipeline.pinEpoch(spark, dir, "dr-pin2", cfgT(None))
+    val hot2 = Snapshots.read(spark, dir, "ep_census")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    Pipeline.runIncrementalPinned(spark, c.toDS(), dir, "dr-d2",
+      cfgT(Some(1.0)))
+    val keysV = Snapshots.versions(dir, "ep_keys").last
+    val drift = Snapshots.readManifestVersion(dir, "ep_keys", keysV)
+      .metrics("censusDrift").toDouble
+    assert(drift >= 0.0 && drift <= 1.0)
+    val full = tmpDir("drift-full")
+    Pipeline.run(spark, all.toDS(), full, "dr-full",
+      cfgT(None).copy(link = cfgT(None).link.copy(pinnedHot = Some(hot2))))
+    assert(nodeSet(dir) == nodeSet(full) && edgeSet(dir) == edgeSet(full))
   }
 
   test("re-run with resume is a no-op yielding identical results") {
