@@ -117,6 +117,63 @@ object SparkEntry {
       s.sparkContext.setCheckpointDir(prev.getOrElse(sessionCheckpointDir))
   }
 
+  /** Source-file corpus DERIVED from the documents table, shared by
+    * every oracle-checked KG orchestration query (kg_nodes_incremental,
+    * kg_nodes_pinned, kg_pipeline_nodes, stream_kg_ingest): each
+    * document becomes one file of "q: <form>?" lines — the asks
+    * extractor round-trips each form exactly — with the kg_nodes_exact
+    * case/trailing-dot variant scheme (pure doc_id arithmetic both
+    * engines recompute). Variants (doc_id % 3) are independent of any
+    * doc_id % 2 batch split, so norm-equal forms SPAN ingests and the
+    * final graph is right only if linking merges entities across
+    * versions. Forms are ^[a-z0-9]+$ words (':'/'?' would not
+    * round-trip the line format). Keeps doc_id for the caller's split.
+    */
+  private def asksCorpus(s: SparkSession, dir: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    val words = TextOps.distinctWords(t(dir, "documents"))
+      .filter(col("word").rlike("^[a-z0-9]+$"))
+    val forms = words.select(col("doc_id"),
+      when(col("doc_id") % 3 === 0, upper(col("word")))
+        .when(col("doc_id") % 3 === 1, concat(col("word"), lit(".")))
+        .otherwise(col("word")).as("form"))
+    forms.groupBy(col("doc_id"))
+      .agg(concat_ws("\n", sort_array(collect_list(
+        concat(lit("q: "), col("form"), lit("?"))))).as("content"))
+      .select(lit("docs").as("repo"),
+        concat(lit("d"), col("doc_id").cast("string"), lit(".txt"))
+          .as("path"),
+        lit("c0").as("commit"), lit("md").as("lang"), col("content"),
+        col("doc_id"))
+  }
+
+  /** The maintained-graph surface those queries return: the asks-kind
+    * node rows (linking never crosses preds, so the kind filter pins
+    * the oracle surface to the derived corpus).
+    */
+  private def asksNodes(s: SparkSession, runDir: String): DataFrame =
+    graft.store.Snapshots.read(s, runDir, "nodes")
+      .filter(col("kind") === "asks")
+      .select(col("canonical"), col("kind"),
+        col("memberCount").as("member_count"))
+
+  /** DuckDB twin of [[asksCorpus]] → [[asksNodes]]: norm-equivalence
+    * classes of the derived form set (canonical = binary-min form).
+    */
+  private val asksNormClassSql: String =
+    """WITH w AS (SELECT DISTINCT doc_id, word FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
+      |    FROM documents) WHERE regexp_matches(word, '^[a-z0-9]+$')),
+      |forms AS (SELECT DISTINCT
+      |    CASE WHEN doc_id % 3 = 0 THEN upper(word)
+      |         WHEN doc_id % 3 = 1 THEN word || '.'
+      |         ELSE word END AS obj FROM w),
+      |n AS (SELECT obj, regexp_replace(regexp_replace(lower(trim(obj)),
+      |    '\s+', ' ', 'g'), '\.+$', '') AS norm FROM forms)
+      |SELECT min(obj) AS canonical, 'asks' AS kind,
+      |  count(*) AS member_count
+      |FROM n GROUP BY norm""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- sources / scans (SURVEY §2.1) ----
     "scan_whitelist" -> ((s, dir) => {
@@ -604,47 +661,51 @@ object SparkEntry {
           org.apache.spark.sql.streaming.OutputMode.Append())
       }
     }),
-    // ---- the KG pipeline itself, end to end, as a query ----
+    // ---- the KG pipeline itself, end to end, as a query: one full
+    // Pipeline.run over the documents-derived asks corpus (no batch
+    // split), maintained graph = norm classes, same DuckDB twin as the
+    // ingest variants below. (Until round 7 this ran a FilesGen corpus
+    // rows-only; the extractor-breadth coverage that corpus gave lives
+    // in PipelineSpec/StreamingSpec and graft.tools.PipelineRun.)
     "kg_pipeline_nodes" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
       val runDir = freshScratch("kgq")
-      // 2k-file smoke corpus: size the extract stage to the data
-      // (4 tasks ≈ 500 files each) instead of defaultParallelism —
-      // at this n the pipeline cost is otherwise pure task/file
-      // overhead (near-empty tasks × pred partition dirs)
       withCheckpointDir(s, s"$runDir/_ck") {
-        graft.Pipeline.run(s, graft.fixtures.FilesGen.dataset(s, 2000L),
-          runDir, "kgq",
+        graft.Pipeline.run(s,
+          asksCorpus(s, dir).drop("doc_id").as[SourceFile], runDir, "kgq",
           graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
       }
-      graft.store.Snapshots.read(s, runDir, "nodes")
-        .select("canonical", "kind", "memberCount")
+      asksNodes(s, runDir)
     }),
-    // streaming graph maintenance end-to-end: two micro-batches of
-    // source files through kgIngestStream (batch 1 = full run,
-    // batch 2 = incremental ingest), returning the maintained nodes
-    // table. Rows-only for the same reason as kg_pipeline_nodes (the
-    // FilesGen corpus is invisible to DuckDB); the equality of the
-    // maintained graph with a from-scratch batch run is spec-gated
-    // (StreamingSpec), and every component is oracle-gated elsewhere.
+    // streaming graph maintenance end-to-end UNDER THE HASH GATE: two
+    // micro-batches (doc_id % 2) of the documents-derived asks corpus
+    // through kgIngestStream (batch 1 = full run, batch 2 =
+    // incremental ingest + global relink) — norm-equal forms span the
+    // batches, so the twin checks that the maintained graph shows no
+    // batch boundary. FilesGen replay/union equality stays spec-gated
+    // in StreamingSpec.
     "stream_kg_ingest" -> ((s, dir) => {
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
       implicit val sp: SparkSession = s
       import sp.implicits._
       val runDir = freshScratch("kgstream")
-      val all = graft.fixtures.FilesGen.local(1500)
+      val corpus = asksCorpus(s, dir)
+      def batch(m: Int): Seq[SourceFile] = corpus
+        .filter(col("doc_id") % 2 === m).drop("doc_id")
+        .as[SourceFile].collect().toSeq
       val input = MemoryStream[SourceFile](s)
       withCheckpointDir(s, s"$runDir/_ck") {
         val q = graft.streaming.Streaming.kgIngestStream(input.toDS(), runDir,
           graft.Pipeline.Config(resume = false, arrangePartitions = Some(4)))
         try {
-          input.addData(all.take(1000): _*)
+          input.addData(batch(0): _*)
           q.processAllAvailable()
-          input.addData(all.drop(1000): _*)
+          input.addData(batch(1): _*)
           q.processAllAvailable()
         } finally q.stop()
       }
-      graft.store.Snapshots.read(s, runDir, "nodes")
-        .select("canonical", "kind", "memberCount")
+      asksNodes(s, runDir)
     }),
     // the KG extract→link→canonicalize composition with a DuckDB twin:
     // mention surface forms are derived from the documents' word
@@ -754,20 +815,7 @@ object SparkEntry {
       implicit val sp: SparkSession = s
       import sp.implicits._
       val runDir = freshScratch("kginc")
-      val words = TextOps.distinctWords(t(dir, "documents"))
-        .filter(col("word").rlike("^[a-z0-9]+$"))
-      val forms = words.select(col("doc_id"),
-        when(col("doc_id") % 3 === 0, upper(col("word")))
-          .when(col("doc_id") % 3 === 1, concat(col("word"), lit(".")))
-          .otherwise(col("word")).as("form"))
-      val filesDf = forms.groupBy(col("doc_id"))
-        .agg(concat_ws("\n", sort_array(collect_list(
-          concat(lit("q: "), col("form"), lit("?"))))).as("content"))
-        .select(lit("docs").as("repo"),
-          concat(lit("d"), col("doc_id").cast("string"), lit(".txt"))
-            .as("path"),
-          lit("c0").as("commit"), lit("md").as("lang"), col("content"),
-          col("doc_id"))
+      val filesDf = asksCorpus(s, dir)
       val cfg = graft.Pipeline.Config(resume = false,
         arrangePartitions = Some(4))
       withCheckpointDir(s, s"$runDir/_ck") {
@@ -778,10 +826,38 @@ object SparkEntry {
           filesDf.filter(col("doc_id") % 2 =!= 0).drop("doc_id")
             .as[SourceFile], 1L, runDir, cfg)
       }
-      graft.store.Snapshots.read(s, runDir, "nodes")
-        .filter(col("kind") === "asks")
-        .select(col("canonical"), col("kind"),
-          col("memberCount").as("member_count"))
+      asksNodes(s, runDir)
+    }),
+    // the EPOCH-PINNED ingest with the round-7 O(delta) canonicalize
+    // tail, under the hash gate: base run (bucketed layout) → pinEpoch
+    // → pinned ingest whose assign/nodes/edges are COPY-ON-WRITE BUCKET
+    // PATCHES (Pipeline.incrementalCanonicalize: driver union-find over
+    // the delta's component-pair graph; only changed cb buckets
+    // rewrite). The require below pins the patched path — a silent
+    // global fallback would still hash-match, and that is exactly what
+    // must not pass unnoticed. 'asks' is not a fuzzy pred, so the
+    // pinned census is empty and the norm-class twin is exact.
+    "kg_nodes_pinned" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val runDir = freshScratch("kgpin")
+      val filesDf = asksCorpus(s, dir)
+      val cfg = graft.Pipeline.Config(resume = false,
+        arrangePartitions = Some(4), canonBuckets = Some(64))
+      withCheckpointDir(s, s"$runDir/_ck") {
+        graft.Pipeline.run(s,
+          filesDf.filter(col("doc_id") % 2 === 0).drop("doc_id")
+            .as[SourceFile], runDir, "pin-base", cfg)
+        graft.Pipeline.pinEpoch(s, runDir, "pin-pin", cfg)
+        graft.Pipeline.runIncrementalPinned(s,
+          filesDf.filter(col("doc_id") % 2 =!= 0).drop("doc_id")
+            .as[SourceFile], runDir, "pin-delta", cfg)
+      }
+      require(graft.store.Snapshots.readManifest(runDir, "nodes")
+        .metrics.get("patched").contains("true"),
+        "kg_nodes_pinned must exercise the O(delta) patched tail, " +
+          "not the global fallback")
+      asksNodes(s, runDir)
     }),
     // ---- custom Catalyst expression (codegen'd rolling fingerprint) ----
     "doc_rolling_fp" -> ((s, dir) => {
@@ -1484,23 +1560,19 @@ object SparkEntry {
         |SELECT min(obj) AS canonical, 'mentions' AS kind,
         |  count(*) AS member_count
         |FROM n GROUP BY norm""".stripMargin,
-    // incremental ingest: the final maintained graph equals the
-    // norm-equivalence classes of the full form set — batch boundaries
-    // must be invisible in the output (global relink), which is
-    // exactly what this twin cannot see and therefore checks
-    "kg_nodes_incremental" ->
-      """WITH w AS (SELECT DISTINCT doc_id, word FROM (
-        |    SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS word
-        |    FROM documents) WHERE regexp_matches(word, '^[a-z0-9]+$')),
-        |forms AS (SELECT DISTINCT
-        |    CASE WHEN doc_id % 3 = 0 THEN upper(word)
-        |         WHEN doc_id % 3 = 1 THEN word || '.'
-        |         ELSE word END AS obj FROM w),
-        |n AS (SELECT obj, regexp_replace(regexp_replace(lower(trim(obj)),
-        |    '\s+', ' ', 'g'), '\.+$', '') AS norm FROM forms)
-        |SELECT min(obj) AS canonical, 'asks' AS kind,
-        |  count(*) AS member_count
-        |FROM n GROUP BY norm""".stripMargin,
+    // ingest-orchestration twins: the final maintained graph equals
+    // the norm-equivalence classes of the full form set — batch/ingest
+    // boundaries must be invisible in the output, which is exactly
+    // what this twin cannot see and therefore checks. Shared verbatim
+    // by all four orchestrations over the asks corpus: two-batch
+    // global relink (kg_nodes_incremental), epoch-pinned ingest with
+    // the O(delta) patched tail (kg_nodes_pinned), single full run
+    // (kg_pipeline_nodes), and Structured-Streaming maintenance
+    // (stream_kg_ingest).
+    "kg_nodes_incremental" -> asksNormClassSql,
+    "kg_nodes_pinned" -> asksNormClassSql,
+    "kg_pipeline_nodes" -> asksNormClassSql,
+    "stream_kg_ingest" -> asksNormClassSql,
     // brute-force twin of the banded SimHash pairs (banding is
     // pigeonhole-complete for hamming<=3, so the sets are equal); the
     // word hash is md5_number_lower, which the Spark side reassembles
