@@ -426,8 +426,10 @@ object Pipeline {
     // maxCensusDrift turns it into a refusal (recover by running the
     // SAME runId through runIncremental — the global relink, which
     // bumps the epoch — then pinEpoch).
+    val tDrift0 = System.nanoTime()
     val drift = censusDrift(spark, runDir, cfg, hot, deltaShingled,
       deltaExtractRows)
+    val driftSec = (System.nanoTime() - tDrift0) / 1e9
     cfg.maxCensusDrift.foreach { th =>
       require(drift <= th,
         f"census drift $drift%.4f exceeds maxCensusDrift $th%.4f — the " +
@@ -436,7 +438,8 @@ object Pipeline {
     }
 
     val deltaKeys = appendOnce(spark, runDir, "ep_keys", runId,
-      Map("censusDrift" -> f"$drift%.6f")) {
+      Map("censusDrift" -> f"$drift%.6f",
+        "driftSec" -> f"$driftSec%.2f")) {
       Linking.bandedKeyTable(deltaShingled, cfg.link, hot)
     }
     val deltaKeyRows = Snapshots.versions(runDir, "ep_keys")
@@ -560,19 +563,24 @@ object Pipeline {
     // form the delta triples re-mention. All ids outside the probe
     // result are NEW (delta) entities (extraction anti-joined
     // duplicates away, so delta ids are disjoint from stored ids).
+    var tProbe = 0L; var tUf = 0L
+    def timing[T](acc: Long => Unit)(body: => T): T = {
+      val t0 = System.nanoTime(); val r = body
+      acc(System.nanoTime() - t0); r
+    }
     val assignOld = Snapshots.read(spark, runDir, "assign")
-    val tripleIds = deltaTriples
+    val tripleIds = timing(tProbe += _)(deltaTriples
       .select(Linking.idCol($"pred", $"obj").as("id"))
-      .distinct().as[Long].collect()
-    val endIds = deltaLinks.select($"src".as("id"))
+      .distinct().as[Long].collect())
+    val endIds = timing(tProbe += _)(deltaLinks.select($"src".as("id"))
       .unionByName(deltaLinks.select($"dst".as("id")))
-      .distinct().as[Long].collect()
+      .distinct().as[Long].collect())
     val needed = (tripleIds ++ endIds).distinct
     val oldCanon = scala.collection.mutable.LongMap.empty[Long]
-    assignOld.select($"entityId", $"canonicalId")
+    timing(tProbe += _)(assignOld.select($"entityId", $"canonicalId")
       .join(broadcast(needed.toSeq.toDF("entityId")), Seq("entityId"))
       .as[(Long, Long)].collect()
-      .foreach { case (e, c) => oldCanon(e) = c }
+      .foreach { case (e, c) => oldCanon(e) = c })
 
     // --- 2. driver union-find over the component-pair graph (min-id
     // roots — identical semantics to both ConnectedComponents paths)
@@ -590,7 +598,7 @@ object Pipeline {
       case Some(c) => oldRoots(c) = (); c
       case None    => e
     }
-    deltaLinks.select($"src", $"dst").as[(Long, Long)]
+    timing(tUf += _)(deltaLinks.select($"src", $"dst").as[(Long, Long)]
       .mapPartitions { it =>
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]
         it.foreach { case (a, x) => buf += a; buf += x }
@@ -605,7 +613,7 @@ object Pipeline {
           }
           i += 2
         }
-      }
+      })
     // roots that actually merged (vs. delta edges that landed inside
     // one existing component — no-ops)
     val mergedOldRoots = touched.keysIterator
@@ -634,10 +642,12 @@ object Pipeline {
       roots.map(bucketOf).distinct.toSeq.map(v => s"cb=$v")
     def buckets(roots: Array[Long]): Seq[Int] =
       roots.map(bucketOf).distinct.toSeq
-    val tailMetrics = Map(
+    def tailMetrics = Map(
       "canonBuckets" -> b.toString,
       "ccIterations" -> "0",
       "merges" -> mergedOldRoots.length.toString,
+      "probeSec" -> f"${tProbe / 1e9}%.2f",
+      "ufSec" -> f"${tUf / 1e9}%.2f",
       "delta" -> "patch")
 
     // --- 4. assign patch: member rows of merged-away roots remap (and
@@ -648,18 +658,35 @@ object Pipeline {
       .join(broadcast(deltaCompDf), Seq("entityId"), "left")
       .select($"pred", $"obj", $"norm", $"entityId",
         coalesce($"comp", $"entityId").as("canonicalId"))
-    Snapshots.stagePatch(spark, runDir, "assign", runId,
-      dirs(mergedOldRoots), Seq("ident", "cb"), tailMetrics) {
+    // patch writes: rewritten buckets repartition on the dir columns
+    // (files ≈ rewritten dirs, not tasks × dirs); everything landing
+    // OUTSIDE a rewritten bucket — delta entities hash anywhere —
+    // goes to the snapshot's unpartitioned append set (see
+    // Snapshots.stagePatch: one file set per ingest instead of ~B
+    // scattered dir touches, which measured as THE dominant patch
+    // cost). Partition columns in the append set carry the
+    // READ-BACK types (ident: string, cb: int).
+    def inRew(buckets: Seq[Int]) =
+      if (buckets.isEmpty) lit(false) else $"cb".isin(buckets: _*)
+    def assignContent = {
       val oldRows = assignOld
-        .filter(if (aBuckets.isEmpty) lit(false) else $"cb".isin(aBuckets: _*))
+        .filter(inRew(aBuckets))
         .select($"pred", $"obj", $"norm", $"entityId", $"canonicalId")
       val remapped = oldRows
         .join(broadcast(rootMapDf), Seq("canonicalId"), "left")
         .select($"pred", $"obj", $"norm", $"entityId",
           coalesce($"newCanon", $"canonicalId").as("canonicalId"))
       remapped.unionByName(deltaAssign)
-        .withColumn("ident", $"canonicalId" === $"entityId")
+        .withColumn("ident",
+          ($"canonicalId" === $"entityId").cast("string"))
         .withColumn("cb", cbOf($"canonicalId"))
+    }
+    Snapshots.stagePatch(spark, runDir, "assign", runId,
+      dirs(mergedOldRoots), Seq("ident", "cb"), tailMetrics) {
+      assignContent.filter(inRew(aBuckets)).repartition($"ident", $"cb")
+    } {
+      assignContent.filter(!inRew(aBuckets))
+        .repartition(1).sortWithinPartitions($"cb")
     }
 
     // --- 5. nodes patch: every old root in a real merge loses or
@@ -669,10 +696,9 @@ object Pipeline {
     val nBuckets = buckets(changedOldRoots)
     val changedDf = changedOldRoots.toSeq
       .map(r => (r, find(r))).toDF("canonicalId", "fRoot")
-    Snapshots.stagePatch(spark, runDir, "nodes", runId,
-      dirs(changedOldRoots), Seq("kind", "cb"), tailMetrics) {
+    def nodesContent = {
       val pruned = nodesOld
-        .filter(if (nBuckets.isEmpty) lit(false) else $"cb".isin(nBuckets: _*))
+        .filter(inRew(nBuckets))
         .select($"canonicalId", $"canonical", $"canonicalNorm", $"kind",
           $"memberCount")
       val keep = pruned
@@ -694,15 +720,22 @@ object Pipeline {
           $"m.norm".as("canonicalNorm"), $"kind", $"memberCount")
       keep.unionByName(combined).withColumn("cb", cbOf($"canonicalId"))
     }
+    Snapshots.stagePatch(spark, runDir, "nodes", runId,
+      dirs(changedOldRoots), Seq("cb"), tailMetrics) {
+      nodesContent.filter(inRew(nBuckets))
+        .repartition($"cb").sortWithinPartitions($"cb", $"kind")
+    } {
+      nodesContent.filter(!inRew(nBuckets))
+        .repartition(1).sortWithinPartitions($"cb", $"kind")
+    }
 
     // --- 6. edges patch: stored edge rows change ONLY when their
     // canonicalId was a merged-away root (absorbing roots keep their
     // id); the delta's own triples append
     val edgesOld = Snapshots.read(spark, runDir, "edges")
-    Snapshots.stagePatch(spark, runDir, "edges", runId,
-      dirs(mergedOldRoots), Seq("pred", "cb"), tailMetrics) {
+    def edgesContent = {
       val pruned = edgesOld
-        .filter(if (aBuckets.isEmpty) lit(false) else $"cb".isin(aBuckets: _*))
+        .filter(inRew(aBuckets))
         .select($"subj", $"pred", $"canonicalId", $"conf", $"repo",
           $"path", $"commit")
       val remapped = pruned
@@ -718,6 +751,14 @@ object Pipeline {
           coalesce($"fc", $"entityId").as("canonicalId"),
           $"conf", $"repo", $"path", $"commit")
       remapped.unionByName(deltaE).withColumn("cb", cbOf($"canonicalId"))
+    }
+    Snapshots.stagePatch(spark, runDir, "edges", runId,
+      dirs(mergedOldRoots), Seq("cb"), tailMetrics) {
+      edgesContent.filter(inRew(aBuckets))
+        .repartition($"cb").sortWithinPartitions($"cb", $"pred")
+    } {
+      edgesContent.filter(!inRew(aBuckets))
+        .repartition(1).sortWithinPartitions($"cb", $"pred")
     }
     Some(0)
   }
@@ -865,30 +906,42 @@ object Pipeline {
     // Stage 3 — connected components → canonical id per entity.
     // Singleton entities (no link edge) canonicalize to themselves.
     var ccIters = 0
-    // opt-in canonical-bucket layout (see Config.canonBuckets): cb
-    // partition column + a repartition on the partition columns so the
-    // file count stays ≈ #partition dirs instead of tasks × dirs
+    // opt-in canonical-bucket layout (see Config.canonBuckets). Dirs
+    // are cb-only (plus ident on assign, which the edges stage prunes
+    // and counts from the manifest): nesting pred/kind under B buckets
+    // would multiply the dir count by their cardinality for no
+    // maintenance benefit. Instead pred/kind CLUSTER inside each
+    // bucket file via sortWithinPartitions — the Iceberg
+    // bucket-transform + sort-order shape — so low-cardinality
+    // predicates still skip via row-group stats. A repartition on the
+    // dir columns keeps the file count ≈ #dirs instead of tasks×dirs.
     val cbMetrics = cfg.canonBuckets
       .map(b => Map("canonBuckets" -> b.toString)).getOrElse(Map.empty)
     def withCb(df: DataFrame): DataFrame = cfg.canonBuckets
       .map(b => df.withColumn("cb",
         pmod($"canonicalId", lit(b.toLong)).cast("int"))).getOrElse(df)
-    def arranged(df: DataFrame, parts: Seq[String]): DataFrame =
-      if (cfg.canonBuckets.isDefined) df.repartition(parts.map(col): _*)
+    def arranged(df: DataFrame, parts: Seq[String],
+                 cluster: Seq[String]): DataFrame =
+      if (cfg.canonBuckets.isDefined)
+        df.repartition(parts.map(col): _*)
+          .sortWithinPartitions((parts ++ cluster).map(col): _*)
       else df
-    def partCols(base: Seq[String]): Seq[String] =
-      base ++ (if (cfg.canonBuckets.isDefined) Seq("cb") else Nil)
+    def partCols(base: Seq[String], keepBase: Boolean): Seq[String] =
+      if (cfg.canonBuckets.isEmpty) base
+      else if (keepBase) base :+ "cb"
+      else Seq("cb")
     // partitioned by `ident` (canonical == self) so the edges stage can
     // read the small non-identity DELTA slice partition-pruned, and
     // count it from the manifest's partition-dir lineage with no job
+    val assignParts = partCols(Seq("ident"), keepBase = true)
     val assign = Snapshots.stage(spark, runDir, "assign", runId, resume,
-      partitionBy = partCols(Seq("ident")),
+      partitionBy = assignParts,
       metrics = Map("ccIterations" -> ccIters.toString) ++ cbMetrics) {
       val (a, iters) = assignCanonical(ents, links, cfg.hotThreshold,
         cfg.ccLocalThreshold)
       ccIters = iters
       arranged(withCb(a.withColumn("ident", $"canonicalId" === $"entityId")),
-        partCols(Seq("ident")))
+        assignParts, Nil)
     }
     // cross-version resume guard: the edges stage needs the assign
     // snapshot's ident column/partitioning (the delta-map rewrite). A
@@ -903,9 +956,10 @@ object Pipeline {
     // Stage 4a — nodes (shared nodeTable logic; the snapshot keeps the
     // canonicalNorm argmin column so comp merges recombine, see
     // nodeTableFull).
+    val nodesParts = partCols(Seq("kind"), keepBase = false)
     val nodes = Snapshots.stage(spark, runDir, "nodes", runId, resume,
-      partitionBy = partCols(Seq("kind")), metrics = cbMetrics) {
-      arranged(withCb(nodeTableFull(assign)), partCols(Seq("kind")))
+      partitionBy = nodesParts, metrics = cbMetrics) {
+      arranged(withCb(nodeTableFull(assign)), nodesParts, Seq("kind"))
     }
 
     // Stage 4b — edges: triples rewritten onto canonical ids via the
@@ -920,8 +974,9 @@ object Pipeline {
     // degrades to a left shuffle join against the delta — still
     // strictly smaller than the full 1:1 map the previous design
     // joined (AQE covers hub-entity skew there).
+    val edgesParts = partCols(Seq("pred"), keepBase = false)
     val edges = Snapshots.stage(spark, runDir, "edges", runId, resume,
-      partitionBy = partCols(Seq("pred")), metrics = cbMetrics) {
+      partitionBy = edgesParts, metrics = cbMetrics) {
       val withId = triples.withColumn("entityId", Linking.idCol($"pred", $"obj"))
       val deltaRows = Snapshots.readManifest(runDir, "assign").fileRows
         .collect { case (f, n) if f.contains("ident=false/") => n }.sum
@@ -933,7 +988,7 @@ object Pipeline {
         else withId.join(delta, Seq("entityId"), "left")
       arranged(withCb(joined.select($"subj", $"pred",
         coalesce($"canonicalId", $"entityId").as("canonicalId"), $"conf",
-        $"repo", $"path", $"commit")), partCols(Seq("pred")))
+        $"repo", $"path", $"commit")), edgesParts, Seq("pred"))
     }
 
     ccIters

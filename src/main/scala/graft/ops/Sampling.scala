@@ -173,6 +173,31 @@ object Sampling {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.LongType
 
+    // the per-(partition, group) totals are keyed by the group VALUE on
+    // the driver (JVM equality), while the range order uses SQL
+    // ordering — the two must agree or group runs interleave with
+    // distinct driver keys and the offsets silently skew. Floating
+    // groups break that agreement (-0.0 and 0.0 are SQL-equal but
+    // Java-distinct keys; NaN orderings differ) and map types are not
+    // orderable at all, so both are rejected up front — group keys are
+    // corpus/source/stratum labels, which have no business being
+    // floats.
+    locally {
+      import org.apache.spark.sql.types._
+      def floaty(dt: DataType): Boolean = dt match {
+        case FloatType | DoubleType => true
+        case s: StructType          => s.fields.exists(f => floaty(f.dataType))
+        case a: ArrayType           => floaty(a.elementType)
+        case _: MapType             => true
+        case _                      => false
+      }
+      val dt = df.select(groupCol.as("g")).schema.head.dataType
+      require(!floaty(dt),
+        "packSequences: group column must not contain float/double/map " +
+          s"(driver-key equality vs SQL ordering mismatch); got " +
+          s"${dt.simpleString}")
+    }
+
     val grpC = "__pack_grp"; val ordC = "__pack_ord"; val tokC = "__pack_tok"
     val ranged = df
       .withColumn(grpC, groupCol)

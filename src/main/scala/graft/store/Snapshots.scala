@@ -97,11 +97,20 @@ object Snapshots {
     if (carried.isEmpty) return spark.read.parquet(dataDir(runDir, stage, m))
     val sd = stageDir(runDir, stage)
     val own = m.fileRows.keys.map(k => s"snap=${m.version.get}/$k")
+    // read root per file = snap=<w> plus any non-partition subdirs
+    // (patch/, append/): partition columns parse relative to the root,
+    // and a root with no k=v segments below it reads as plain files
+    // whose partition columns ride as data columns (the append set)
+    def root(p: String): String = {
+      val dirs = p.split('/').init // drop the filename
+      (dirs.head +: dirs.tail.takeWhile(s => !s.contains('=')))
+        .mkString("/")
+    }
     (own ++ carried.keys).toVector
-      .groupBy(_.takeWhile(_ != '/')) // snap=<w>
+      .groupBy(root)
       .toSeq.sortBy(_._1)
-      .map { case (snapSeg, paths) =>
-        spark.read.option("basePath", s"$sd/$snapSeg")
+      .map { case (r, paths) =>
+        spark.read.option("basePath", s"$sd/$r")
           .parquet(paths.map(p => s"$sd/$p"): _*)
       }
       .reduce(_ unionByName _)
@@ -270,15 +279,30 @@ object Snapshots {
   }
 
   /** PARTIAL-OVERWRITE publish (the Iceberg copy-on-write MERGE
-    * shape): a new snapshot version whose data = `compute`'s output
-    * (written fresh under snap=<v+1>/) plus every file of the current
-    * snapshot NOT under one of `rewrittenDirs` — carried by reference
-    * in the manifest, never copied. `compute` must emit the FULL new
-    * content of every rewritten partition dir, and only genuinely NEW
-    * rows for any other dir (they land as appended files next to the
-    * carried ones). `rewrittenDirs` entries are single partition-path
+    * shape): a new snapshot version whose data =
+    *   - snap=<v+1>/patch/  — `rewrite`'s output, partitioned: the
+    *     FULL new content of every dir in `rewrittenDirs`;
+    *   - snap=<v+1>/append/ — `append`'s output, UNPARTITIONED (the
+    *     partition columns ride as data columns): genuinely new rows
+    *     for dirs that are NOT rewritten. Appends scatter across
+    *     arbitrary partition values (new entities hash anywhere), and
+    *     writing them through the partitioned layout would touch one
+    *     dir+file per value per ingest — measured as THE dominant
+    *     patch cost (dynamic-commit + footer + listing over ~B tiny
+    *     files). As unpartitioned delta files they cost O(1) files per
+    *     ingest; readers filter them by column stats instead of dir
+    *     pruning, which is proportionate to their (delta) size. The
+    *     Iceberg analog: rewritten data files vs appended delta files
+    *     in one snapshot.
+    * plus every file of the current snapshot NOT under one of
+    * `rewrittenDirs` — carried by reference in the manifest, never
+    * copied. `rewrittenDirs` entries are single partition-path
     * segments (e.g. "cb=7"): a carried file is dropped iff any of its
     * path segments matches one.
+    *
+    * NOTE for callers: partition columns read back with
+    * partition-inference types (ident: string, cb: int) — the append
+    * frame must carry them with exactly those types.
     *
     * Same publish protocol as [[stage]] (data → versioned manifest →
     * live pointer last), so a crashed patch is invisible and the
@@ -288,33 +312,58 @@ object Snapshots {
                  runId: String, rewrittenDirs: Seq[String],
                  partitionBy: Seq[String],
                  metrics: => Map[String, String] = Map.empty)
-                (compute: => DataFrame): DataFrame = {
+                (rewrite: => DataFrame)(append: => DataFrame): DataFrame = {
     val base = readManifest(runDir, stageName)
     require(base.version.isDefined,
       s"stage $stageName predates snapshot versioning — cannot patch")
     val version = prepareNextVersion(runDir, stageName)
     val dir = snapshotDir(runDir, stageName, version)
+    val sd = stageDir(runDir, stageName)
+    val rewritten = rewrittenDirs.toSet
+    val baseEff = effectiveFiles(base)
+    def isAppendFile(p: String) = p.split('/').contains("append")
+    // prior append files CONSOLIDATE into this patch's append set
+    // (minus rows that now live in rewritten dirs — the caller's
+    // pruned rewrite read has already re-emitted those): appends never
+    // accumulate beyond one file set, and a row appended to a bucket
+    // that later rewrites cannot survive twice
+    val priorAppendPaths = baseEff.keys.filter(isAppendFile).toVector.sorted
+    val priorKept: Option[DataFrame] =
+      if (priorAppendPaths.isEmpty) None
+      else {
+        val df = spark.read.parquet(priorAppendPaths.map(p => s"$sd/$p"): _*)
+        val byCol = rewrittenDirs.map(_.split("=", 2))
+          .groupBy(_.head).map { case (c, vs) => (c, vs.map(_(1))) }
+        Some(byCol.foldLeft(df) { case (d, (c, vs)) =>
+          d.filter(!col(c).cast("string").isin(vs: _*))
+        })
+      }
     val t0 = System.nanoTime()
-    val df = compute
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val w1 = rewrite.write.mode(SaveMode.Overwrite)
       .option("compression", StageCompression)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(dir)
+    (if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1)
+      .parquet(s"$dir/patch")
+    priorKept.map(append.unionByName(_)).getOrElse(append)
+      .write.mode(SaveMode.Overwrite)
+      .option("compression", StageCompression)
+      .parquet(s"$dir/append")
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
-    val rewritten = rewrittenDirs.toSet
-    val carried = effectiveFiles(base).filterNot { case (path, _) =>
-      path.split('/').exists(rewritten.contains)
+    val carried = baseEff.filterNot { case (path, _) =>
+      path.split('/').exists(rewritten.contains) || isAppendFile(path)
     }
+    val tF0 = System.nanoTime()
     val perFile = footerCounts(dir)
+    val footerSec = (System.nanoTime() - tF0) / 1e9
     val m = Manifest(runId, stageName,
       rows = perFile.values.sum + carried.values.sum,
       fileRows = perFile, wallMs = wallMs,
       metrics = metrics ++ Map("patched" -> "true",
-        "rewrittenDirs" -> rewrittenDirs.length.toString),
+        "rewrittenDirs" -> rewrittenDirs.length.toString,
+        "footerSec" -> f"$footerSec%.2f",
+        "newFiles" -> perFile.size.toString),
       version = Some(version),
       baseFiles = Some(carried))
-    val sd = stageDir(runDir, stageName)
     writeManifest(sd, versionedManifestName(version), m)
     writeManifest(sd, ManifestName, m)
     assemble(spark, runDir, stageName, m)

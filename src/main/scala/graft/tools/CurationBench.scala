@@ -61,6 +61,47 @@ object CurationBench {
     }
     println(f"[curbench] MIN cpus=$cpus docs=$nDocs wall=${walls.min}%.1fs " +
       f"rate=${nDocs / walls.min}%.0f docs/s")
+
+    // SPARK_GRAFT_CUR_MEASURE_RUN=1: drive the SNAPSHOT path
+    // (Curation.run) once and report per-stage write volume — the
+    // round-6 no-text contract made cur_clean/cur_decon carry only
+    // (id, stratum, n_tokens); this prints what that saves vs the
+    // corpus-sized writes a text-carrying snapshot would pay.
+    if (sys.env.get("SPARK_GRAFT_CUR_MEASURE_RUN").contains("1")) {
+      val runDir = s"$baseDir/currun_$nDocs"
+      graft.store.Snapshots.deleteDir(runDir)
+      val t0 = System.nanoTime()
+      graft.ops.Curation.run(spark, docs, runDir, "curbench",
+        benchFilter = pmod(col("doc_id"), lit(50)) === 0,
+        rates = Map.empty, defaultRate = 0.5,
+        splits = Seq(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+        budget = 2048L, contamN = 8, contamMinOverlap = 10L,
+        resume = false).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      def bytes(p: String): Long = {
+        val d = java.nio.file.Path.of(p)
+        if (!java.nio.file.Files.exists(d)) return 0L
+        val w = java.nio.file.Files.walk(d)
+        try w.iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+          .asScala.filter(java.nio.file.Files.isRegularFile(_))
+          .map(java.nio.file.Files.size).sum
+        finally w.close()
+      }
+      val corpus = bytes(docsPath)
+      Seq("cur_clean", "cur_decon", "cur_packed").foreach { st =>
+        val b = bytes(graft.store.Snapshots.stageDir(runDir, st))
+        println(f"[curbench] run() stage=$st bytes=$b%,d " +
+          f"(${b * 100.0 / corpus}%.2f%% of the ${corpus}%,d-byte corpus)")
+      }
+      println(f"[curbench] run() total wall=$wall%.1fs (snapshot path, 1 rep)")
+    }
     spark.stop()
+  }
+
+  private implicit class It[T](it: java.util.Iterator[T]) {
+    def asScala: Iterator[T] = new Iterator[T] {
+      def hasNext: Boolean = it.hasNext
+      def next(): T = it.next()
+    }
   }
 }

@@ -677,6 +677,23 @@ class OpsSpec extends SparkSpec {
       .select($"id", $"start_tok", $"first_bin", $"last_bin")
       .as[(Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
     assert(z == Seq((1L, 0L, 0L, 1L), (2L, 5L, 1L, 1L), (3L, 5L, 1L, 2L)))
+    // floating/map group keys are REJECTED up front: the driver offset
+    // map uses JVM equality while the range order uses SQL ordering,
+    // and -0.0 vs 0.0 (equal in SQL, distinct JVM keys) would silently
+    // skew offsets. Error must name the offending type.
+    val exF = intercept[IllegalArgumentException] {
+      Sampling.packSequences(
+        Seq((1L, 0.0, 5L), (2L, -0.0, 3L)).toDF("id", "grp", "n"),
+        $"grp", $"id", $"n", 4L).count()
+    }
+    assert(exF.getMessage.contains("group column") &&
+      exF.getMessage.contains("double"), exF.getMessage)
+    val exM = intercept[IllegalArgumentException] {
+      Sampling.packSequences(
+        Seq((1L, Map("a" -> 1), 5L)).toDF("id", "grp", "n"),
+        $"grp", $"id", $"n", 4L).count()
+    }
+    assert(exM.getMessage.contains("group column"), exM.getMessage)
   }
 
   test("repetitionScore matches brute force; shuffle-free codegen plan") {

@@ -91,10 +91,13 @@ class PipelineSpec extends SparkSpec {
       partitionBy = Seq("b")) {
       Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)).toDF("x", "b")
     }
-    // v2 rewrites b=0 (drops x=2, adds x=10) and APPENDS x=99 into the
-    // untouched b=2 — b=1 and the base b=2 file are carried by reference
+    // v2 rewrites b=0 (drops x=2, adds x=10) and APPENDS x=99 with
+    // b=2 to the unpartitioned append set — b=1 and b=2 dirs of the
+    // base are carried by reference
     Snapshots.stagePatch(spark, dir, "t", "p2", Seq("b=0"), Seq("b")) {
-      Seq((1L, 0), (10L, 0), (99L, 2)).toDF("x", "b")
+      Seq((1L, 0), (10L, 0)).toDF("x", "b")
+    } {
+      Seq((99L, 2)).toDF("x", "b")
     }
     assert(readSet == Set((1L, 0), (10L, 0), (3L, 1), (4L, 2), (99L, 2)))
     val m2 = Snapshots.readManifest(dir, "t")
@@ -103,19 +106,32 @@ class PipelineSpec extends SparkSpec {
     assert(!m2.baseFiles.get.keys.exists(_.contains("/b=0/")))
     // time travel: v1 still reads as the original full snapshot
     assert(Snapshots.readVersion(spark, dir, "t", 1).count() == 4)
-    // chained patch: v3 rewrites b=2 (carrying b=1 from v1 AND the v2
-    // rewrite of b=0 + its b=2 append is superseded by the rewrite)
+    // chained patch: v3 rewrites b=2. The FULL new content of b=2 is
+    // (7,2) — the v2 append row (99,2) sat in the now-rewritten bucket
+    // and must NOT survive via append consolidation; the new append
+    // (50,1) replaces the prior append set alongside carried b=1
     Snapshots.stagePatch(spark, dir, "t", "p3", Seq("b=2"), Seq("b")) {
       Seq((7L, 2)).toDF("x", "b")
+    } {
+      Seq((50L, 1)).toDF("x", "b")
     }
-    assert(readSet == Set((1L, 0), (10L, 0), (3L, 1), (7L, 2)))
-    assert(Snapshots.readManifest(dir, "t").rows == 4)
-    // expire guard: v1's files are carried by the published v2 and v3
-    // manifests — deleting them would corrupt readable snapshots
+    assert(readSet == Set((1L, 0), (10L, 0), (3L, 1), (50L, 1), (7L, 2)))
+    assert(Snapshots.readManifest(dir, "t").rows == 5)
+    // appends CONSOLIDATE: v3's manifest carries no snap=2 append file
+    assert(!Snapshots.readManifest(dir, "t").baseFiles.get.keys
+      .exists(p => p.startsWith("snap=2/append")))
+    // a patch on a patch where the prior append row SURVIVES (b=1 not
+    // rewritten): v4 rewrites b=0; (50,1) must ride into v4's append
+    Snapshots.stagePatch(spark, dir, "t", "p4", Seq("b=0"), Seq("b")) {
+      Seq((11L, 0)).toDF("x", "b")
+    } {
+      spark.emptyDataset[(Long, Int)].toDF("x", "b")
+    }
+    assert(readSet == Set((11L, 0), (3L, 1), (50L, 1), (7L, 2)))
+    // expire guard: earlier snapshots stay pinned while patches carry
+    // their files
     intercept[IllegalArgumentException](Snapshots.expire(dir, "t", 1))
-    // v2 is carried-from by v3 too (its b=1... no: v3 carries snap=1 and
-    // snap=2 files) — so v2 also refuses while v3 references it
-    intercept[IllegalArgumentException](Snapshots.expire(dir, "t", 2))
+    intercept[IllegalArgumentException](Snapshots.expire(dir, "t", 3))
     deleteRec(Path.of(dir))
   }
 
