@@ -40,7 +40,18 @@ object Snapshots {
       // snapshots, keyed by stage-relative path (snap=<w>/...). The
       // effective table = these + this version's own fileRows; `rows`
       // counts both. None/empty on full snapshots.
-      baseFiles: Option[Map[String, Long]] = None
+      baseFiles: Option[Map[String, Long]] = None,
+      // ----- scan-planning info (manifest-planned reads, round 7) ----
+      // byte sizes keyed like fileRows / baseFiles; StructType.json of
+      // the main (full/patch) data files, of the unpartitioned append
+      // files, and of the dir-encoded partition columns. All optional:
+      // a manifest missing any piece a read needs falls back to the
+      // directory-listing path (older manifests keep working).
+      fileBytes: Option[Map[String, Long]] = None,
+      baseFileBytes: Option[Map[String, Long]] = None,
+      dataSchema: Option[String] = None,
+      appendSchema: Option[String] = None,
+      partSchema: Option[String] = None
   )
 
   private val ManifestName = "_MANIFEST.json"
@@ -90,24 +101,94 @@ object Snapshots {
     * the carried files of earlier snapshots — grouped per source
     * snapshot so partition columns parse against each snapshot's own
     * basePath (the Iceberg manifest-list read shape).
+    *
+    * When the manifest carries scan-planning info (file bytes +
+    * schemas — everything published since they were added), the read
+    * is MANIFEST-PLANNED: a [[ManifestFileIndex]] per read root, zero
+    * filesystem listing (see that class for why). Otherwise it falls
+    * back to `spark.read.parquet` directory listing.
     */
   private def assemble(spark: SparkSession, runDir: String, stage: String,
-                       m: Manifest): DataFrame = {
+                       m: Manifest): DataFrame = IOStat.timed("snap.assemble") {
+    plannedRead(spark, runDir, stage, m).getOrElse {
+      IOStat.timed("snap.assemble.listed") {
+        val carried = m.baseFiles.getOrElse(Map.empty)
+        if (carried.isEmpty) spark.read.parquet(dataDir(runDir, stage, m))
+        else assemblePatch(spark, runDir, stage, m, carried)
+      }
+    }
+  }
+
+  /** Kill switch for manifest-planned reads (tests A/B the two paths;
+    * production default is on).
+    */
+  private[graft] var manifestPlan: Boolean =
+    sys.props.get("graft.snapshots.manifestPlan").forall(_.toBoolean)
+
+  /** Read root of a stage-relative file path: snap=<w> plus any
+    * non-partition subdirs (patch/, append/). Partition columns parse
+    * relative to the root, and a root with no k=v segments below it
+    * reads as plain files whose partition columns ride as data
+    * columns (the append set).
+    */
+  private def rootOf(p: String): String = {
+    val dirs = p.split('/').init // drop the filename
+    (dirs.head +: dirs.tail.takeWhile(s => !s.contains('=')))
+      .mkString("/")
+  }
+
+  private def parseStruct(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
+  private def plannedRead(spark: SparkSession, runDir: String, stage: String,
+                          m: Manifest): Option[DataFrame] = {
+    import org.apache.hadoop.fs.{Path => HPath}
+    import org.apache.spark.sql.execution.datasources.HadoopFsRelation
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+    import org.apache.spark.sql.types.StructType
+    if (!manifestPlan) return None
+    val v = m.version.getOrElse(return None)
+    val ownBytes = m.fileBytes.getOrElse(return None)
+    val own = ownBytes.map { case (k, b) => s"snap=$v/$k" -> b }
     val carried = m.baseFiles.getOrElse(Map.empty)
-    if (carried.isEmpty) return spark.read.parquet(dataDir(runDir, stage, m))
+    val carriedBytes: Map[String, Long] =
+      if (carried.isEmpty) Map.empty
+      else {
+        val cb = m.baseFileBytes.getOrElse(return None)
+        if (!carried.keys.forall(cb.contains)) return None
+        cb.filter { case (k, _) => carried.contains(k) }
+      }
+    val all = own ++ carriedBytes
+    if (all.isEmpty) return None
+    val sd = stageDir(runDir, stage)
+    val parts = all.toSeq.groupBy { case (p, _) => rootOf(p) }
+      .toSeq.sortBy(_._1)
+      .map { case (r, fs) =>
+        val w = r.split('/').head.stripPrefix("snap=").toIntOption
+          .getOrElse(return None)
+        val rm = if (w == v) m else readManifestVersion(runDir, stage, w)
+        val (dataJson, pSchema) =
+          if (r.endsWith("/append")) (rm.appendSchema, StructType(Nil))
+          else (rm.dataSchema,
+            parseStruct(rm.partSchema.getOrElse(return None)))
+        val dSchema = parseStruct(dataJson.getOrElse(return None))
+        val rel = fs.map { case (p, b) => (p.stripPrefix(r + "/"), b) }
+        val idx = new ManifestFileIndex(spark, new HPath(s"$sd/$r"), rel,
+          pSchema)
+        spark.baseRelationToDataFrame(HadoopFsRelation(idx, pSchema, dSchema,
+          None, new ParquetFileFormat, Map.empty[String, String])(spark))
+      }
+    Some(parts.reduce(_ unionByName _))
+  }
+
+  private def assemblePatch(spark: SparkSession, runDir: String, stage: String,
+                            m: Manifest,
+                            carried: Map[String, Long]): DataFrame = {
     val sd = stageDir(runDir, stage)
     val own = m.fileRows.keys.map(k => s"snap=${m.version.get}/$k")
-    // read root per file = snap=<w> plus any non-partition subdirs
-    // (patch/, append/): partition columns parse relative to the root,
-    // and a root with no k=v segments below it reads as plain files
-    // whose partition columns ride as data columns (the append set)
-    def root(p: String): String = {
-      val dirs = p.split('/').init // drop the filename
-      (dirs.head +: dirs.tail.takeWhile(s => !s.contains('=')))
-        .mkString("/")
-    }
     (own ++ carried.keys).toVector
-      .groupBy(root)
+      .groupBy(rootOf)
       .toSeq.sortBy(_._1)
       .map { case (r, paths) =>
         spark.read.option("basePath", s"$sd/$r")
@@ -121,6 +202,18 @@ object Snapshots {
     val ownPrefix = m.version.map(v => s"snap=$v/").getOrElse("")
     m.fileRows.map { case (k, n) => s"$ownPrefix$k" -> n } ++
       m.baseFiles.getOrElse(Map.empty)
+  }
+
+  /** Byte sizes of a manifest's effective files (stage-relative), when
+    * the manifest tracks them for both own and carried sets.
+    */
+  private def effectiveBytesOpt(m: Manifest): Option[Map[String, Long]] = {
+    val ownPrefix = m.version.map(v => s"snap=$v/").getOrElse("")
+    m.fileBytes.flatMap { fb =>
+      val own = fb.map { case (k, b) => s"$ownPrefix$k" -> b }
+      if (m.baseFiles.exists(_.nonEmpty)) m.baseFileBytes.map(own ++ _)
+      else Some(own)
+    }
   }
 
   /** All PUBLISHED versions of a stage, ascending. Published = the
@@ -248,20 +341,25 @@ object Snapshots {
       .parquet(dir)
     val wallMs = (System.nanoTime() - t0) / 1000000L
 
-    // per-partition lineage: row count per produced file, read from
-    // the parquet FOOTERS on the driver (no Spark job, no data
-    // re-scan — the Iceberg-manifest approach). Keyed by the
-    // snapshot-relative path: partitionBy layouts reuse part-file
-    // basenames across partition dirs.
-    val perFile = footerCounts(dir)
-    val rows = perFile.values.sum
+    // per-partition lineage: row count (and byte size, for planned
+    // reads) per produced file, read from the parquet FOOTERS on the
+    // driver (no Spark job, no data re-scan — the Iceberg-manifest
+    // approach). Keyed by the snapshot-relative path: partitionBy
+    // layouts reuse part-file basenames across partition dirs.
+    val perFile = footerStats(dir)
+    val rows = perFile.values.map(_._1).sum
 
-    val m = Manifest(runId, stageName, rows, perFile, wallMs, metrics,
-      version = Some(version))
+    val m = Manifest(runId, stageName, rows,
+      perFile.map { case (k, (r, _)) => k -> r }, wallMs, metrics,
+      version = Some(version),
+      fileBytes = Some(perFile.map { case (k, (_, b)) => k -> b }),
+      dataSchema = perFile.keys.headOption.map(f =>
+        fileSchema(spark, s"$dir/$f").json),
+      partSchema = inferPartSchema(partitionBy, perFile.keys).map(_.json))
     val sd = stageDir(runDir, stageName)
     writeManifest(sd, versionedManifestName(version), m)
     writeManifest(sd, ManifestName, m)
-    spark.read.parquet(dir)
+    IOStat.timed("snap.reread")(read(spark, runDir, stageName))
   }
 
   /** Orphan cleanup + next version number (shared publish prelude): a
@@ -312,7 +410,7 @@ object Snapshots {
                  runId: String, rewrittenDirs: Seq[String],
                  partitionBy: Seq[String],
                  metrics: => Map[String, String] = Map.empty)
-                (rewrite: => DataFrame)(append: => DataFrame): DataFrame = {
+                (rewrite: => DataFrame)(append: => DataFrame): Unit = {
     val base = readManifest(runDir, stageName)
     require(base.version.isDefined,
       s"stage $stageName predates snapshot versioning — cannot patch")
@@ -353,20 +451,38 @@ object Snapshots {
       path.split('/').exists(rewritten.contains) || isAppendFile(path)
     }
     val tF0 = System.nanoTime()
-    val perFile = footerCounts(dir)
+    val perFile = footerStats(dir)
     val footerSec = (System.nanoTime() - tF0) / 1e9
+    // carried-file bytes for planned reads: the base's effective bytes
+    // restricted to what this patch still carries (None when the base
+    // predates byte tracking — the patch then reads via listing)
+    val carriedBytes = effectiveBytesOpt(base)
+      .map(_.filter { case (k, _) => carried.contains(k) })
+      .filter(cb => carried.keys.forall(cb.contains))
+    val patchFiles = perFile.keys.filter(_.startsWith("patch/")).toSeq.sorted
+    val appendFiles = perFile.keys.filter(isAppendFile).toSeq.sorted
     val m = Manifest(runId, stageName,
-      rows = perFile.values.sum + carried.values.sum,
-      fileRows = perFile, wallMs = wallMs,
+      rows = perFile.values.map(_._1).sum + carried.values.sum,
+      fileRows = perFile.map { case (k, (r, _)) => k -> r }, wallMs = wallMs,
       metrics = metrics ++ Map("patched" -> "true",
         "rewrittenDirs" -> rewrittenDirs.length.toString,
         "footerSec" -> f"$footerSec%.2f",
         "newFiles" -> perFile.size.toString),
       version = Some(version),
-      baseFiles = Some(carried))
+      baseFiles = Some(carried),
+      fileBytes = Some(perFile.map { case (k, (_, b)) => k -> b }),
+      baseFileBytes = carriedBytes,
+      dataSchema = patchFiles.headOption.map(f =>
+        fileSchema(spark, s"$dir/$f").json),
+      appendSchema = appendFiles.headOption.map(f =>
+        fileSchema(spark, s"$dir/$f").json),
+      partSchema = inferPartSchema(partitionBy,
+        patchFiles.map(_.stripPrefix("patch/"))).map(_.json))
     writeManifest(sd, versionedManifestName(version), m)
     writeManifest(sd, ManifestName, m)
-    assemble(spark, runDir, stageName, m)
+    // NOTE: deliberately returns Unit — an eager `assemble` here costs
+    // a full listing of every carried file, and no caller consumes it
+    // (patch consumers re-open the stage via `read` when they need it)
   }
 
   /** Footer-derived per-file row counts for every *.parquet under
@@ -377,34 +493,88 @@ object Snapshots {
     * ~10 ms per-open FS overhead is pure latency — serial reads cost
     * seconds per stage and dominated small pipeline runs.
     */
-  def footerCounts(dir: String): Map[String, Long] = {
-    import org.apache.hadoop.conf.Configuration
-    import org.apache.hadoop.fs.{Path => HPath}
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    val base = Paths.get(dir)
-    val walk = Files.walk(base)
-    val files =
-      try walk.iterator().asScalaIterator()
-        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-        .toVector
-      finally walk.close()
-    val conf = new Configuration()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(
-      math.max(1, math.min(16, files.size)))
-    try {
-      val futures = files.map { p =>
-        pool.submit(new java.util.concurrent.Callable[(String, Long)] {
-          def call(): (String, Long) = {
-            val reader = ParquetFileReader.open(
-              HadoopInputFile.fromPath(new HPath(p.toString), conf))
-            try base.relativize(p).toString -> reader.getRecordCount
-            finally reader.close()
-          }
-        })
-      }
-      futures.map(_.get()).toMap
-    } finally pool.shutdown()
+  def footerCounts(dir: String): Map[String, Long] =
+    footerStats(dir).map { case (k, (rows, _)) => k -> rows }
+
+  /** Footer-derived (row count, byte size) per *.parquet under `dir`,
+    * keyed by dir-relative path — everything scan planning needs.
+    */
+  def footerStats(dir: String): Map[String, (Long, Long)] =
+    IOStat.timed("snap.footers") {
+      import org.apache.hadoop.conf.Configuration
+      import org.apache.hadoop.fs.{Path => HPath}
+      import org.apache.parquet.hadoop.ParquetFileReader
+      import org.apache.parquet.hadoop.util.HadoopInputFile
+      val base = Paths.get(dir)
+      val walk = Files.walk(base)
+      val files =
+        try walk.iterator().asScalaIterator()
+          .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+          .toVector
+        finally walk.close()
+      val conf = new Configuration()
+      // each open is ~10 ms of pure FS latency — pool it wide
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.max(1, math.min(48, files.size)))
+      try {
+        val futures = files.map { p =>
+          pool.submit(new java.util.concurrent.Callable[(String, (Long, Long))] {
+            def call(): (String, (Long, Long)) = {
+              val reader = ParquetFileReader.open(
+                HadoopInputFile.fromPath(new HPath(p.toString), conf))
+              try base.relativize(p).toString ->
+                (reader.getRecordCount, Files.size(p))
+              finally reader.close()
+            }
+          })
+        }
+        futures.map(_.get()).toMap
+      } finally pool.shutdown()
+    }
+
+  /** Read-back schema of one written parquet file — captured at
+    * publish time through the session's own inference (exact
+    * type-mapping semantics), so planned reads reproduce
+    * `spark.read.parquet` bit for bit.
+    */
+  private def fileSchema(spark: SparkSession, absFile: String) =
+    IOStat.timed("snap.schemaCap")(spark.read.parquet(absFile).schema)
+
+  /** Partition schema a planned read can trust WITHOUT re-running
+    * Spark's partition inference at read time: per column, all dir
+    * values must be unambiguously integral (→ int/long, matching what
+    * inference would produce) or unambiguously non-numeric strings
+    * (letter-first — can never be mistaken for a number, date, or
+    * timestamp). Anything else (date-like, decimal-like, escaped or
+    * null partitions) returns None and the stage reads through the
+    * listing path with real inference.
+    */
+  private def inferPartSchema(partitionBy: Seq[String],
+                              relPaths: Iterable[String]
+                             ): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    if (partitionBy.isEmpty) return Some(StructType(Nil))
+    val IntRe = "-?\\d{1,18}".r
+    val StrRe = "[A-Za-z_][A-Za-z0-9_.\\-]*".r
+    val fields = partitionBy.map { c =>
+      val prefix = c + "="
+      val values = relPaths.map { p =>
+        p.split('/').init.find(_.startsWith(prefix))
+          .getOrElse(return None).substring(prefix.length)
+      }.toSet
+      if (values.isEmpty || values.contains("__HIVE_DEFAULT_PARTITION__"))
+        return None
+      val dt =
+        if (values.forall(IntRe.matches)) {
+          val longs = values.map(_.toLong)
+          if (longs.forall(v => v >= Int.MinValue && v <= Int.MaxValue))
+            IntegerType
+          else LongType
+        } else if (values.forall(StrRe.matches)) StringType
+        else return None
+      StructField(c, dt)
+    }
+    Some(StructType(fields))
   }
 
   private implicit class IterAdapter[T](it: java.util.Iterator[T]) {

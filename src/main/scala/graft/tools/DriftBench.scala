@@ -16,8 +16,14 @@ import org.apache.spark.sql.SparkSession
   * maxCensusDrift bound set between ingest-1 and ingest-K drift
   * levels refuses exactly the later ingests.
   *
-  * Usage: runMain graft.tools.DriftBench [n] [m] [k] [maxShingleDf]
-  *   defaults: 50000 5000 3 50
+  * Arg 5 (driftSample, default 1.0) prices the drift metric itself:
+  * the exact metric scans the stored shingle lineage once per ingest;
+  * driftSample < 1 trades that scan for a sampled estimate — running
+  * the same chain at 1.0 and at e.g. 0.1 shows the cost (driftSec)
+  * and the estimate error side by side.
+  *
+  * Usage: runMain graft.tools.DriftBench [n] [m] [k] [maxShingleDf] [driftSample]
+  *   defaults: 50000 5000 3 50 1.0
   */
 object DriftBench {
   def main(args: Array[String]): Unit = {
@@ -25,6 +31,7 @@ object DriftBench {
     val m = args.lift(1).map(_.toLong).getOrElse(5000L)
     val k = args.lift(2).map(_.toInt).getOrElse(3)
     val cap = args.lift(3).map(_.toLong).getOrElse(50L)
+    val dSample = args.lift(4).map(_.toDouble).getOrElse(1.0)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -41,7 +48,7 @@ object DriftBench {
     spark.sparkContext.setCheckpointDir(s"$root/_checkpoints")
     val cfg = Pipeline.Config(
       link = Linking.Config(maxShingleDf = cap, maxShingleDfFrac = 1e-12),
-      canonBuckets = Some(512))
+      canonBuckets = Some(512), driftSample = dSample)
     def rd(dir: String) = spark.read.parquet(dir).as[graft.SourceFile]
     def mat(tag: String, start: Long, count: Long): String = {
       val dir = s"$root/files_$tag"

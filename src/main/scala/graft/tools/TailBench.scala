@@ -80,10 +80,19 @@ object TailBench {
         case _            => bases.indexOf(n) % 2 == 0
       }
       var tIncTail = 0.0; var tGlobTail = 0.0
-      def runInc(): Unit = tIncTail = timed(Pipeline.runIncrementalPinned(
-        spark, rd(deltaDir), run, "delta", cfg(inc = true)))
-      def runGlob(): Unit = tGlobTail = timed(Pipeline.runIncrementalPinned(
-        spark, rd(deltaDir), runG, "delta", cfg(inc = false)))
+      var ioInc = ""; var ioGlob = ""
+      def runInc(): Unit = {
+        graft.store.IOStat.reset()
+        tIncTail = timed(Pipeline.runIncrementalPinned(
+          spark, rd(deltaDir), run, "delta", cfg(inc = true)))
+        ioInc = graft.store.IOStat.report()
+      }
+      def runGlob(): Unit = {
+        graft.store.IOStat.reset()
+        tGlobTail = timed(Pipeline.runIncrementalPinned(
+          spark, rd(deltaDir), runG, "delta", cfg(inc = false)))
+        ioGlob = graft.store.IOStat.report()
+      }
       if (incFirst) { runInc(); runGlob() } else { runGlob(); runInc() }
       println(s"[tailbench]   order: ${if (incFirst) "INC,GLOB" else "GLOB,INC"}")
 
@@ -120,6 +129,8 @@ object TailBench {
         f"footerSec=${fm(run, "assign")}+${fm(run, "nodes")}+${fm(run, "edges")} " +
         f"(unaccounted INC=${tIncTail - tailInc - pre(run)}%5.1fs " +
         f"GLOB=${tGlobTail - tailGlob - pre(runG)}%5.1fs)")
+      println(s"[tailbench]   iostat INC : $ioInc")
+      println(s"[tailbench]   iostat GLOB: $ioGlob")
 
       // graph equality between the two tails
       val cols = Seq("canonicalId", "canonical", "kind", "memberCount")

@@ -1,0 +1,146 @@
+package graft
+
+import graft.store.{IOStat, Snapshots}
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import scala.jdk.CollectionConverters._
+
+/** Manifest-planned snapshot reads (round 7): `Snapshots.read` plans
+  * scans from the manifest's file list + recorded schemas — zero
+  * directory listing — and must be indistinguishable from the
+  * listing path (`spark.read.parquet`) in schema, values, partition
+  * column typing, and partition pruning.
+  */
+class SnapshotPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(tag: String): String =
+    Files.createTempDirectory(s"graft-snapplan-$tag").toString
+
+  private def deleteRec(p: Path): Unit = if (Files.exists(p)) {
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
+
+  /** Runs `body` with manifest planning forced on/off. */
+  private def withPlan[T](on: Boolean)(body: => T): T = {
+    val prev = Snapshots.manifestPlan
+    Snapshots.manifestPlan = on
+    try body finally Snapshots.manifestPlan = prev
+  }
+
+  private def rowsOf(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  test("planned read == listed read on a partitioned full snapshot (schema, values, no listing)") {
+    val dir = tmpDir("full")
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("b")) {
+      Seq((1L, 0, "x"), (2L, 0, "y"), (3L, 1, "z"), (4L, 2, "w"))
+        .toDF("x", "b", "s")
+    }
+    IOStat.reset()
+    val planned = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+    // the planned path never fell back to the listing assembler
+    assert(!IOStat.snapshot().contains("snap.assemble.listed"))
+    val listed = withPlan(on = false)(Snapshots.read(spark, dir, "t"))
+    assert(planned.schema == listed.schema) // incl. b inferred as int
+    assert(planned.schema("b").dataType.typeName == "integer")
+    assert(rowsOf(planned) == rowsOf(listed))
+    // the scan really is manifest-planned
+    val scans = planned.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }
+    assert(scans.exists(_.relation.location.getClass.getSimpleName
+      .contains("ManifestFileIndex")))
+    deleteRec(Path.of(dir))
+  }
+
+  test("planned partition pruning: filter on the partition column scans only its files") {
+    val dir = tmpDir("prune")
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("b")) {
+      (0L until 30L).map(i => (i, (i % 3).toInt)).toDF("x", "b")
+    }
+    val df = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+      .filter($"b" === 1)
+    assert(df.as[(Long, Int)].collect().toSet ==
+      (0L until 30L).filter(_ % 3 == 1).map(i => (i, 1)).toSet)
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val all = Snapshots.readManifest(dir, "t").fileRows.keys
+    val b1 = all.count(_.startsWith("b=1/"))
+    assert(b1 > 0 && b1 < all.size)
+    assert(scan.inputRDDs().head.partitions.nonEmpty)
+    df.count() // populate metrics
+    assert(scan.metrics("numFiles").value == b1)
+    deleteRec(Path.of(dir))
+  }
+
+  test("planned read == listed read across a copy-on-write patch chain incl. time travel") {
+    val dir = tmpDir("chain")
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("b")) {
+      Seq((1L, 0), (2L, 0), (3L, 1), (4L, 2)).toDF("x", "b")
+    }
+    Snapshots.stagePatch(spark, dir, "t", "p2", Seq("b=0"), Seq("b")) {
+      Seq((1L, 0), (10L, 0)).toDF("x", "b")
+    } {
+      Seq((99L, 2)).toDF("x", "b")
+    }
+    Snapshots.stagePatch(spark, dir, "t", "p3", Seq("b=2"), Seq("b")) {
+      Seq((7L, 2)).toDF("x", "b")
+    } {
+      Seq((50L, 1)).toDF("x", "b")
+    }
+    (1 to 3).foreach { v =>
+      val planned = withPlan(on = true)(
+        Snapshots.readVersion(spark, dir, "t", v))
+      val listed = withPlan(on = false)(
+        Snapshots.readVersion(spark, dir, "t", v))
+      assert(rowsOf(planned.select("x", "b")) == rowsOf(listed.select("x", "b")),
+        s"version $v diverged")
+      assert(planned.select("x", "b").schema ==
+        listed.select("x", "b").schema, s"version $v schema diverged")
+    }
+    // current read: patched bucket + carried dirs + append set, planned
+    IOStat.reset()
+    val cur = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+    assert(!IOStat.snapshot().contains("snap.assemble.listed"))
+    assert(cur.select("x", "b").as[(Long, Int)].collect().toSet ==
+      Set((1L, 0), (10L, 0), (3L, 1), (50L, 1), (7L, 2)))
+    deleteRec(Path.of(dir))
+  }
+
+  test("string-valued partition columns (true/false dirs) type as string on both paths") {
+    val dir = tmpDir("strpart")
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("q")) {
+      Seq((1L, "true"), (2L, "false"), (3L, "false")).toDF("x", "q")
+    }
+    val planned = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+    val listed = withPlan(on = false)(Snapshots.read(spark, dir, "t"))
+    assert(planned.schema("q").dataType.typeName == "string")
+    assert(planned.schema == listed.schema)
+    assert(rowsOf(planned) == rowsOf(listed))
+    assert(planned.filter(!$"q".cast("boolean")).count() == 2)
+    deleteRec(Path.of(dir))
+  }
+
+  test("ambiguous partition values refuse a recorded schema and fall back to listing") {
+    val dir = tmpDir("amb")
+    // date-like partition values: Spark inference would type them as
+    // DATE; the publisher must NOT record a partition schema for them
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("d")) {
+      Seq((1L, "2024-01-02"), (2L, "2024-01-03")).toDF("x", "d")
+    }
+    assert(Snapshots.readManifest(dir, "t").partSchema.isEmpty)
+    IOStat.reset()
+    val df = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+    assert(IOStat.snapshot().contains("snap.assemble.listed"))
+    assert(df.count() == 2)
+    deleteRec(Path.of(dir))
+  }
+}
