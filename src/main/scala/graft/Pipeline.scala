@@ -65,12 +65,13 @@ object Pipeline {
       // a fresh census at the current corpus size). None = record the
       // drift in the manifest but never refuse.
       maxCensusDrift: Option[Double] = None,
-      // Fraction of the stored shingle table the drift measurement
-      // scans (dfs are scaled by 1/driftSample before the cap
-      // comparison). 1.0 = exact. At extreme corpus sizes sample the
-      // census instead of rescanning it — the metric guides a re-pin
-      // decision, it does not need exact dfs (shingles far from the
-      // cap classify identically under any reasonable sample).
+      // Fraction of the delta's (pred, shingle) KEYS the drift
+      // measurement prices (deterministic hash sample of the key
+      // space; dfs for the sampled keys stay exact). 1.0 = every
+      // delta key. The metric guides a re-pin decision — an unbiased
+      // mean over a uniform key sample is enough, and exact dfs keep
+      // near-cap keys classified correctly (row-sampling does not;
+      // see censusDrift).
       driftSample: Double = 1.0
   )
 
@@ -788,8 +789,25 @@ object Pipeline {
                           hot: Seq[(String, Long)], deltaShingled: DataFrame,
                           deltaExtractRows: Long): Double = {
     import spark.implicits._
-    val deltaSh = deltaShingled
+    // driftSample samples the delta's KEY SPACE (deterministic hash
+    // bucket on (pred, sh)), never the stored rows: per-key dfs stay
+    // EXACT, so the sampled drift is an unbiased mean over a uniform
+    // key sample. Row-sampling was tried first and REJECTED on
+    // measurement: scaling sampled counts by 1/p leaves near-cap keys
+    // misclassified with high probability (Binomial variance around
+    // the cap) and drops rare keys from the denominator entirely —
+    // DriftBench read 0.12 at p=0.1 where the exact metric reads
+    // 0.013 — and `.sample` reads every stored row anyway, so it
+    // saved no IO. Key-sampling shrinks the probe side and the
+    // aggregate by p with no bias, and is deterministic (replayed
+    // ingests record the same drift).
+    val deltaShAll = deltaShingled
       .select($"pred", explode($"shingles").as("sh")).distinct()
+    val deltaSh =
+      if (cfg.driftSample >= 1.0) deltaShAll
+      else deltaShAll.filter(
+        pmod(xxhash64($"pred", $"sh"), lit(1000000L)) <
+          lit(math.round(cfg.driftSample * 1000000L)))
     val hinted =
       if (deltaExtractRows <= SkewJoin.BroadcastableRightRows)
         broadcast(deltaSh)
@@ -798,13 +816,10 @@ object Pipeline {
       Snapshots.readManifestVersion(runDir, "entities", v).rows).sum
     val freshCap = cfg.link.stopShingleCap(nEnts)
     val stored = lineageUnion(spark, runDir, "ep_shingles")
-    val sampled =
-      if (cfg.driftSample >= 1.0) stored
-      else stored.sample(withReplacement = false, cfg.driftSample, 42L)
-    val dfs = sampled.select($"pred", explode($"shingles").as("sh"))
+    val dfs = stored.select($"pred", explode($"shingles").as("sh"))
       .join(hinted, Seq("pred", "sh"))
       .groupBy($"pred", $"sh")
-      .agg((count(lit(1)) / lit(cfg.driftSample)).as("df"))
+      .agg(count(lit(1)).cast("double").as("df"))
     val pinnedDf = hot.toDF("pred", "sh").withColumn("hp", lit(true))
     val row = dfs.join(broadcast(pinnedDf), Seq("pred", "sh"), "left")
       .select((($"df" > lit(freshCap.toDouble)) =!=

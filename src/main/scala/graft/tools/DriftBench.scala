@@ -65,10 +65,11 @@ object DriftBench {
       Pipeline.runIncrementalPinned(spark, rd(d), run, s"delta$i", cfg)
       val wall = (System.nanoTime() - t0) / 1e9
       val keysV = Snapshots.versions(run, "ep_keys").last
-      val drift = Snapshots.readManifestVersion(run, "ep_keys", keysV)
-        .metrics("censusDrift")
-      println(f"[driftbench] n=$n m=$m cap=$cap ingest=$i " +
-        f"wall=$wall%5.1fs censusDrift=$drift")
+      val metrics = Snapshots.readManifestVersion(run, "ep_keys", keysV)
+        .metrics
+      println(f"[driftbench] n=$n m=$m cap=$cap sample=$dSample ingest=$i " +
+        f"wall=$wall%5.1fs censusDrift=${metrics("censusDrift")} " +
+        f"driftSec=${metrics("driftSec")}")
     }
     spark.stop()
   }

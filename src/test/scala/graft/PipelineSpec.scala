@@ -455,6 +455,58 @@ class PipelineSpec extends SparkSpec {
     assert(nodeSet(dir) == nodeSet(full) && edgeSet(dir) == edgeSet(full))
   }
 
+  test("key-sampled census drift: deterministic, unbiased vs exact, metric-only") {
+    val all = FilesGen.local(n)
+    val (a, b) = all.splitAt(n / 2)
+    val cfg0 = Pipeline.Config(
+      link = graft.link.Linking.Config(exactSmallThreshold = 0L,
+        maxShingleDf = 1L, maxShingleDfFrac = 1e-12))
+    val base = tmpDir("driftsamp")
+    Pipeline.run(spark, a.toDS(), base, "ds-base", cfg0)
+    Pipeline.pinEpoch(spark, base, "ds-pin", cfg0)
+
+    def copyOf(tag: String): String = {
+      val dst = tmpDir(tag)
+      val src = Path.of(base)
+      Files.walk(src).iterator().asScala.foreach { p =>
+        val t = Path.of(dst).resolve(src.relativize(p))
+        if (Files.isDirectory(p)) Files.createDirectories(t)
+        else Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      dst
+    }
+    def ingest(dir: String, sample: Double): Double = {
+      Pipeline.runIncrementalPinned(spark, b.toDS(), dir, "ds-d1",
+        cfg0.copy(driftSample = sample))
+      val v = Snapshots.versions(dir, "ep_keys").last
+      Snapshots.readManifestVersion(dir, "ep_keys", v)
+        .metrics("censusDrift").toDouble
+    }
+
+    // copies of the PINNED state, taken before any ingest (an ingest
+    // with a runId the copy has seen would resume as a no-op)
+    val (d2, d3, d4) = (copyOf("ds2"), copyOf("ds3"), copyOf("ds4"))
+    val exact = ingest(base, 1.0)
+    // cap = 1 on the long-tail fixture: the delta re-mentions base
+    // singleton shingles, so exact drift must be strictly positive
+    assert(exact > 0.0)
+    val s2 = ingest(d2, 0.5)
+    val s3 = ingest(d3, 0.5)
+    // deterministic: the key sample is a hash bucket, not an RNG —
+    // a replayed ingest records the same drift
+    assert(s2 == s3)
+    // unbiased: a 50% key sample with EXACT per-key dfs lands near
+    // the exact fraction (row-sampling read ~9x high here)
+    assert(math.abs(s2 - exact) <= 0.15,
+      s"sampled drift $s2 too far from exact $exact")
+    // degenerate sample -> no keys priced -> drift 0.0, ingest fine
+    assert(ingest(d4, 1e-9) == 0.0)
+    // sampling affects the METRIC only: graphs identical
+    assert(nodeSet(d2) == nodeSet(base) && edgeSet(d2) == edgeSet(base))
+    Seq(base, d2, d3, d4).foreach(d => deleteRec(Path.of(d)))
+  }
+
   test("re-run with resume is a no-op yielding identical results") {
     val dir = tmpDir("c")
     val r1 = Pipeline.run(spark, files, dir, "run-c")
