@@ -559,11 +559,20 @@ object Pipeline {
 
     def bucketOf(id: Long): Int = (((id % b) + b) % b).toInt
 
-    // --- 1. ONE narrow probe scan of the stored assign table:
-    // current canonical of every delta edge endpoint and every old
-    // form the delta triples re-mention. All ids outside the probe
-    // result are NEW (delta) entities (extraction anti-joined
-    // duplicates away, so delta ids are disjoint from stored ids).
+    // --- 1. ONE narrow probe of the stored assign table, pruned to
+    // the ident=false partitions: current canonical of every delta
+    // edge endpoint and every old form the delta triples re-mention.
+    // Identity rows (canonicalId == entityId — the overwhelming
+    // majority of the corpus) carry nothing the probe can't infer:
+    // every consumer defaults a missing id to canonical = itself, so
+    // scanning them only ever confirmed that default. The one thing
+    // the full scan additionally established — does this endpoint
+    // EXIST in the stored corpus, i.e. should a merge remap STORED
+    // rows (oldRoots) or only delta rows (deltaMoved)? — is answered
+    // exactly by newEnts: extraction anti-joined duplicates away, so
+    // delta ids are disjoint from stored ids, and "old" = "not in
+    // newEnts". Probe IO is therefore O(non-identity rows), i.e.
+    // proportional to merge density, not corpus size.
     var tProbe = 0L; var tUf = 0L
     def timing[T](acc: Long => Unit)(body: => T): T = {
       val t0 = System.nanoTime(); val r = body
@@ -577,8 +586,14 @@ object Pipeline {
       .unionByName(deltaLinks.select($"dst".as("id")))
       .distinct().as[Long].collect())
     val needed = (tripleIds ++ endIds).distinct
+    // delta entity ids (bounded by the deltaExtractRows guard above)
+    val newIds = scala.collection.mutable.LongMap.empty[Unit]
+    timing(tProbe += _)(newEnts.select($"entityId").distinct()
+      .as[Long].collect().foreach(newIds(_) = ()))
     val oldCanon = scala.collection.mutable.LongMap.empty[Long]
-    timing(tProbe += _)(assignOld.select($"entityId", $"canonicalId")
+    timing(tProbe += _)(assignOld
+      .filter(!$"ident".cast("boolean")) // partition-pruned slice
+      .select($"entityId", $"canonicalId")
       .join(broadcast(needed.toSeq.toDF("entityId")), Seq("entityId"))
       .as[(Long, Long)].collect()
       .foreach { case (e, c) => oldCanon(e) = c })
@@ -595,10 +610,14 @@ object Pipeline {
     }
     val oldRoots = scala.collection.mutable.LongMap.empty[Unit]
     val touched = scala.collection.mutable.LongMap.empty[Unit]
-    def rep(e: Long): Long = oldCanon.get(e) match {
-      case Some(c) => oldRoots(c) = (); c
-      case None    => e
-    }
+    // old endpoints (not in newIds) resolve through the probed
+    // non-identity map, defaulting to canonical = self — identity
+    // rows were pruned from the probe precisely because this default
+    // reconstructs them. Their canonical is an OLD root either way:
+    // a merge must remap stored rows, not just delta appends.
+    def rep(e: Long): Long =
+      if (newIds.contains(e)) e
+      else { val c = oldCanon.getOrElse(e, e); oldRoots(c) = (); c }
     timing(tUf += _)(deltaLinks.select($"src", $"dst").as[(Long, Long)]
       .mapPartitions { it =>
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]

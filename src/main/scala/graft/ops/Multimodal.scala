@@ -8,12 +8,16 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing is real and tested — schema (binary +
   * struct metadata), partitioning (by media kind), pooled per-partition
-  * "codec" instances, batch shape (Iterator→Iterator, no per-row
-  * setup) — exactly the shape a real decoder drops into. The decode
-  * step itself is a DETERMINISTIC STUB (this container has no image/
-  * audio libraries): it derives pixel/sample statistics from the
-  * payload bytes via a seeded digest. Replace `StubCodec` with a real
-  * library binding to productionize; nothing else changes.
+  * codec instances, batch shape (Iterator→Iterator, no per-row
+  * setup). The DECODE step is real too, JDK-only: PNG pixels via
+  * `javax.imageio` (headless-safe) and WAV PCM samples via a direct
+  * 16-bit little-endian parse, each reduced to a 16-dim feature;
+  * image thumbnails are real `Graphics2D` resamples re-encoded as
+  * PNG. Payloads the JDK cannot decode (compressed video — MP4 needs
+  * codecs no stock JVM ships — or unrecognized bytes) fall back to a
+  * DETERMINISTIC digest-derived feature: that fallback is the
+  * documented seam where a native codec binding (ffmpeg et al.) drops
+  * in; nothing else changes.
   */
 object Multimodal {
 
@@ -37,6 +41,9 @@ object Multimodal {
 
   final case class Frame(mediaId: Long, frameIdx: Int, tsMs: Long,
                          thumb: Array[Byte])
+
+  final case class Thumbnail(mediaId: Long, width: Int, height: Int,
+                             png: Array[Byte])
 
   /** A REAL canonical 44-byte RIFF/WAVE header declaring `dataLen`
     * bytes of PCM audio. The synthetic corpus appends only a short
@@ -116,12 +123,43 @@ object Multimodal {
     ftyp ++ box("moov", box("mvhd", mvhd) ++ box("trak", box("tkhd", tkhd)))
   }
 
+  /** A COMPLETE valid PNG with deterministic gradient pixels — pure
+    * function of (w, h, tone) — encoded by the same JDK ImageIO the
+    * codec decodes with. Compresses well (smooth gradients), so the
+    * synthetic corpus stays small while every image payload is fully
+    * decodable, not just header-parseable.
+    */
+  private[ops] def pngImage(w: Int, h: Int, tone: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val row = new Array[Int](w)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        row(x) = (((x * 7 + tone) & 0xff) << 16 |
+          ((y * 11 + tone * 3) & 0xff).toInt << 8 |
+          ((x + y) * 13 + tone * 5) & 0xff).toInt
+        x += 1
+      }
+      img.setRGB(0, y, w, 1, row, 0, w)
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Deterministic synthetic media corpus: payload bytes are a pure
-    * function of (seed, id); sizes/kinds vary by id. Every payload is
-    * a genuine container prefix (valid WAV / PNG / MP4 header,
-    * truncated body) whose declared metadata equals the labeled
-    * metadata, so the codec's header parse is testable against ground
-    * truth for all three kinds.
+    * function of (seed, id); sizes/kinds vary by id. Images are
+    * COMPLETE valid PNGs (decodable pixels, via [[pngImage]]); audio
+    * is a real WAV whose data chunk opens with genuine 16-bit PCM
+    * sine samples but is truncated against its declared length (the
+    * streamed-head-of-a-long-recording shape); video is a genuine
+    * BMFF header prefix + opaque tail (MP4 bodies need codecs no
+    * stock JVM ships). Declared metadata equals labeled metadata, so
+    * the codec's header parse is testable against ground truth for
+    * all three kinds.
     */
   def syntheticMedia(spark: SparkSession, n: Long,
                      seed: Long = 42L): Dataset[MediaFile] = {
@@ -131,19 +169,29 @@ object Multimodal {
       val rnd = new scala.util.Random(seed * 7919L + i)
       val kind = Seq("image", "audio", "video")(rnd.nextInt(3))
       val (fmt, w, h, dur, sr) = kind match {
-        case "image" => ("png", 64 + rnd.nextInt(512), 64 + rnd.nextInt(512), 0L, 0)
+        case "image" => ("png", 16 + rnd.nextInt(120), 16 + rnd.nextInt(120), 0L, 0)
         case "audio" => ("wav", 0, 0, 1000L + rnd.nextInt(60000), 16000)
         case _       => ("mp4", 320, 240, 1000L + rnd.nextInt(30000), 0)
       }
-      val tail = new Array[Byte](256 + rnd.nextInt(1024))
-      rnd.nextBytes(tail)
-      val header = kind match {
-        // 16-bit mono at sr: byteRate = 2*sr; dur ms → dataLen bytes
-        case "audio" => wavHeader(sr, 1, 16, (dur * 2 * sr / 1000).toInt)
-        case "image" => pngHeader(w, h)
-        case _       => mp4Header(w, h, dur)
+      val payload = kind match {
+        case "image" => pngImage(w, h, i)
+        case "audio" =>
+          // 16-bit mono at sr: byteRate = 2*sr; dur ms → declared
+          // dataLen bytes; body carries only the first `samples`
+          // genuine sine samples (deterministic frequency per id)
+          val samples = 512 + rnd.nextInt(512)
+          val freq = 80.0 + (i % 40) * 20.0
+          val pcm = java.nio.ByteBuffer.allocate(2 * samples)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          (0 until samples).foreach(t => pcm.putShort(
+            (math.sin(2 * math.Pi * freq * t / sr) * 12000).toShort))
+          wavHeader(sr, 1, 16, (dur * 2 * sr / 1000).toInt) ++ pcm.array()
+        case _ =>
+          val tail = new Array[Byte](256 + rnd.nextInt(1024))
+          rnd.nextBytes(tail)
+          mp4Header(w, h, dur) ++ tail
       }
-      MediaFile(i, kind, MediaMeta(fmt, w, h, dur, sr), header ++ tail)
+      MediaFile(i, kind, MediaMeta(fmt, w, h, dur, sr), payload)
     }
   }
 
@@ -173,28 +221,139 @@ object Multimodal {
     }
   }
 
-  /** The per-partition "codec" — pooled once per task like the
-    * reference's LLM client (/root/reference/python.py:89-111). A real
-    * implementation holds native decoder handles here.
+  /** The per-partition codec — pooled once per task like the
+    * reference's LLM client (/root/reference/python.py:89-111).
+    * Decode paths are JDK-only (no external libraries): ImageIO for
+    * PNG pixels, a direct PCM parse for WAV samples. A native binding
+    * for further formats would hold its handles here.
     */
-  private final class StubCodec extends Serializable {
+  private[ops] final class JvmCodec extends Serializable {
     private val md = java.security.MessageDigest.getInstance("SHA-256")
+    // no tmp-file staging for ImageIO streams — decode stays in-memory
+    javax.imageio.ImageIO.setUseCache(false)
 
-    /** STUB decode: a real codec would parse the container and return
-      * pixel/sample data; this derives a deterministic 16-dim feature
-      * from the payload digest so downstream plumbing is testable.
+    /** Decode → 16-dim feature in [-1, 1).
+      *
+      * PNG: real pixel decode (`ImageIO.read`); feature = mean
+      * luminance (ITU-R 601 integer weights) of a 4×4 cell grid,
+      * mapped cell/128 − 1 ∈ [−1, 255/128−1]. WAV: real 16-bit LE PCM
+      * parse of the data chunk (declared length clamped to available
+      * bytes — truncated/streamed-head payloads decode their prefix);
+      * feature = mean |sample| of 16 equal time bins, mapped
+      * bin·2/32769 − 1. Undecodable payloads (MP4 — no stock-JVM
+      * codec — or unrecognized/corrupt bytes) fall back to the
+      * deterministic digest feature: the seam for a native binding.
       */
-    def decodeToFeature(payload: Array[Byte]): Array[Float] = {
+    def decodeToFeature(payload: Array[Byte]): Array[Float] =
+      decodePngFeature(payload)
+        .orElse(decodeWavFeature(payload))
+        .getOrElse(digestFeature(payload))
+
+    /** The digest-derived fallback feature (two digest bytes per dim,
+      * mapped to [-1, 1)) — deterministic and pure, so undecodable
+      * media still flows through dedup/similarity plumbing.
+      */
+    private[ops] def digestFeature(payload: Array[Byte]): Array[Float] = {
       md.reset()
       val d = md.digest(payload)
       Array.tabulate(16) { k =>
-        // map two digest bytes to [-1, 1)
         (((d(2 * k) & 0xff) << 8 | (d(2 * k + 1) & 0xff)) / 32768.0f) - 1.0f
       }
     }
 
-    /** STUB thumbnail: real codec would decode + resample; this tags
-      * the payload digest with the frame index.
+    private def readImage(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+      if (payload.length < 8 || !payload.take(8).sameElements(PngSig)) None
+      else
+        try Option(javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(payload)))
+        catch { case _: Exception => None } // corrupt/truncated → fallback
+
+    private def decodePngFeature(payload: Array[Byte]): Option[Array[Float]] =
+      readImage(payload).map { img =>
+        val (w, h) = (img.getWidth, img.getHeight)
+        Array.tabulate(16) { k =>
+          val (r, c) = (k / 4, k % 4)
+          // ≥1 pixel per cell even when a side is < 4
+          val (y0, x0) = (r * h / 4, c * w / 4)
+          val y1 = math.max(y0 + 1, (r + 1) * h / 4)
+          val x1 = math.max(x0 + 1, (c + 1) * w / 4)
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) {
+              val rgb = img.getRGB(x, y)
+              sum += (((rgb >> 16) & 0xff) * 299 +
+                ((rgb >> 8) & 0xff) * 587 + (rgb & 0xff) * 114) / 1000
+              x += 1
+            }
+            y += 1
+          }
+          (sum.toDouble / ((y1 - y0).toLong * (x1 - x0)) / 128.0 - 1.0).toFloat
+        }
+      }
+
+    /** 16-bit LE PCM samples of the data chunk, clamped to the bytes
+      * actually present. None if not RIFF/WAVE or no samples survive
+      * the clamp (header-only payload). */
+    private[ops] def pcmSamples(payload: Array[Byte]): Option[Array[Short]] = {
+      if (payload.length < 44 || fourCC(payload, 0) != "RIFF" ||
+        fourCC(payload, 8) != "WAVE") return None
+      val bb = java.nio.ByteBuffer.wrap(payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      var off = 12L
+      while (off + 8 <= payload.length) {
+        val o = off.toInt
+        val size = bb.getInt(o + 4).toLong & 0xffffffffL
+        if (fourCC(payload, o) == "data") {
+          val avail = math.min(size, payload.length - (off + 8)) / 2
+          if (avail <= 0) return None
+          val out = new Array[Short](avail.toInt)
+          var i = 0
+          while (i < out.length) { out(i) = bb.getShort(o + 8 + 2 * i); i += 1 }
+          return Some(out)
+        }
+        off += 8L + size + (size & 1L)
+      }
+      None
+    }
+
+    private def decodeWavFeature(payload: Array[Byte]): Option[Array[Float]] =
+      pcmSamples(payload).map { s =>
+        Array.tabulate(16) { k =>
+          val i0 = k * s.length / 16
+          val i1 = math.max(i0 + 1, (k + 1) * s.length / 16)
+          var sum = 0L
+          var i = i0
+          while (i < i1) { sum += math.abs(s(i).toLong); i += 1 }
+          // mean |sample| ∈ [0, 32768] → [-1, 1)
+          (sum.toDouble / (i1 - i0) * 2.0 / 32769.0 - 1.0).toFloat
+        }
+      }
+
+    /** Real image thumbnail: decode, area-average resample via
+      * Graphics2D, re-encode as PNG. None when the payload isn't a
+      * decodable image. */
+    def imageThumb(payload: Array[Byte], w: Int, h: Int): Option[Array[Byte]] =
+      readImage(payload).map { img =>
+        val dst = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, w, h, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(dst, "png", bos)
+        bos.toByteArray
+      }
+
+    /** Video frame thumbnail. MP4 decode needs codecs no stock JVM
+      * ships, so this remains the digest-tagged DETERMINISTIC
+      * placeholder — the one surviving stub seam; a native frame
+      * grabber replaces this body, the flatMap shape above it stays.
       */
     def frameThumb(payload: Array[Byte], frameIdx: Int): Array[Byte] = {
       md.reset()
@@ -313,7 +472,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      val codec = new StubCodec
+      val codec = new JvmCodec
       it.map(m => codec.parseMeta(m.payload)
         .map(pm => m.copy(meta = pm)).getOrElse(m))
     }
@@ -326,7 +485,7 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      val codec = new StubCodec
+      val codec = new JvmCodec
       it.map(m => MediaFeature(m.mediaId, m.kind,
         codec.decodeToFeature(m.payload)))
     }
@@ -340,12 +499,29 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.filter(_.kind == "video").mapPartitions { it =>
-      val codec = new StubCodec
+      val codec = new JvmCodec
       it.flatMap { m =>
         val nFrames = math.max(1, (m.meta.durationMs / everyMs).toInt)
         (0 until nFrames).iterator.map(f =>
           Frame(m.mediaId, f, f * everyMs, codec.frameThumb(m.payload, f)))
       }
+    }
+  }
+
+  /** Real image thumbnails: ImageIO decode → bilinear Graphics2D
+    * resample → PNG re-encode, one pooled codec per partition, pure
+    * map, no shuffle. Rows whose payload the JDK cannot decode are
+    * dropped — undecodable media has no pixel thumbnail; route the
+    * complement upstream (e.g. by `kind`) if it needs handling.
+    */
+  def thumbnails(media: Dataset[MediaFile], w: Int = 16,
+                 h: Int = 16): Dataset[Thumbnail] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      val codec = new JvmCodec
+      it.flatMap(m => codec.imageThumb(m.payload, w, h)
+        .map(b => Thumbnail(m.mediaId, w, h, b)))
     }
   }
 

@@ -99,6 +99,109 @@ class MultimodalSpec extends SparkSpec {
       s"tripled mvhd duration must triple parsed ms: $vidP vs $vid")
   }
 
+  private def sha256Feature(payload: Array[Byte]): Seq[Float] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256").digest(payload)
+    Seq.tabulate(16)(k =>
+      (((d(2 * k) & 0xff) << 8 | (d(2 * k + 1) & 0xff)) / 32768.0f) - 1.0f)
+  }
+
+  test("PNG features come from REAL decoded pixels (independent raster oracle)") {
+    val images = media.filter(_.kind == "image").collect()
+    assert(images.nonEmpty)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.mediaId -> f.feature.toSeq).toMap
+    images.foreach { m =>
+      // independent oracle: decode with ImageIO HERE and recompute the
+      // 4x4 grid of mean ITU-601 luminances the codec is spec'd to emit
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(m.payload))
+      assert(img != null, s"corpus image ${m.mediaId} must be decodable")
+      assert(img.getWidth == m.meta.width && img.getHeight == m.meta.height)
+      val expect = Seq.tabulate(16) { k =>
+        val (r, c) = (k / 4, k % 4)
+        val (y0, x0) = (r * img.getHeight / 4, c * img.getWidth / 4)
+        val y1 = math.max(y0 + 1, (r + 1) * img.getHeight / 4)
+        val x1 = math.max(x0 + 1, (c + 1) * img.getWidth / 4)
+        val lums = for (y <- y0 until y1; x <- x0 until x1) yield {
+          val rgb = img.getRGB(x, y)
+          (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000L
+        }
+        (lums.sum.toDouble / lums.size / 128.0 - 1.0).toFloat
+      }
+      assert(feats(m.mediaId) == expect, s"media ${m.mediaId}")
+      // and the real path actually engaged: not the digest fallback
+      assert(feats(m.mediaId) != sha256Feature(m.payload))
+    }
+  }
+
+  test("WAV features come from REAL decoded PCM samples (independent parse oracle)") {
+    val audios = media.filter(_.kind == "audio").collect()
+    assert(audios.nonEmpty)
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.mediaId -> f.feature.toSeq).toMap
+    audios.foreach { m =>
+      // independent oracle: the data chunk is at offset 44 (canonical
+      // 44-byte header), 16-bit LE, truncated vs its declared length
+      val bb = java.nio.ByteBuffer.wrap(m.payload)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val declared = bb.getInt(40).toLong & 0xffffffffL
+      val n = (math.min(declared, (m.payload.length - 44).toLong) / 2).toInt
+      assert(n > 0, s"corpus audio ${m.mediaId} must carry samples")
+      val s = Array.tabulate(n)(i => bb.getShort(44 + 2 * i))
+      val expect = Seq.tabulate(16) { k =>
+        val i0 = k * n / 16
+        val i1 = math.max(i0 + 1, (k + 1) * n / 16)
+        val sum = (i0 until i1).map(i => math.abs(s(i).toLong)).sum
+        (sum.toDouble / (i1 - i0) * 2.0 / 32769.0 - 1.0).toFloat
+      }
+      assert(feats(m.mediaId) == expect, s"media ${m.mediaId}")
+      assert(feats(m.mediaId) != sha256Feature(m.payload))
+    }
+  }
+
+  test("undecodable payloads (MP4, junk) fall back to the digest feature") {
+    val feats = Multimodal.extractFeatures(media).collect()
+      .map(f => f.mediaId -> f.feature.toSeq).toMap
+    val videos = media.filter(_.kind == "video").collect()
+    assert(videos.nonEmpty)
+    videos.foreach(m => assert(feats(m.mediaId) == sha256Feature(m.payload)))
+    val junk = videos.head.copy(mediaId = 424242L,
+      payload = Array.fill[Byte](128)(0x5a))
+    val jf = Multimodal.extractFeatures(spark.createDataset(Seq(junk)))
+      .head().feature.toSeq
+    assert(jf == sha256Feature(junk.payload))
+  }
+
+  test("thumbnails: real resample, valid PNG out, images only, color-exact") {
+    val thumbs = Multimodal.thumbnails(media, 16, 16).collect()
+    val imageIds = media.filter(_.kind == "image").collect()
+      .map(_.mediaId).toSet
+    // only decodable payloads produce thumbs, and all images do
+    assert(thumbs.map(_.mediaId).toSet == imageIds)
+    thumbs.foreach { t =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(t.png))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 16)
+    }
+    // a solid-color source must thumbnail to exactly that color
+    // (bilinear resample of a constant field is constant)
+    val solid = new java.awt.image.BufferedImage(
+      64, 48, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = solid.createGraphics()
+    g.setColor(new java.awt.Color(200, 40, 90)); g.fillRect(0, 0, 64, 48)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(solid, "png", bos)
+    val row = Multimodal.MediaFile(7L, "image",
+      Multimodal.MediaMeta("png", 64, 48, 0L, 0), bos.toByteArray)
+    val t = Multimodal.thumbnails(spark.createDataset(Seq(row)), 8, 8).head()
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(t.png))
+    for (y <- 0 until 8; x <- 0 until 8)
+      assert((back.getRGB(x, y) & 0xffffff) == (200 << 16 | 40 << 8 | 90))
+  }
+
   test("media features feed similarity search end-to-end") {
     val feats = Multimodal.extractFeatures(media)
       .select($"mediaId".as("vec_id"), $"feature".as("embedding"))

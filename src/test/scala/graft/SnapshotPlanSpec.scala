@@ -78,6 +78,34 @@ class SnapshotPlanSpec extends SparkSpec {
     deleteRec(Path.of(dir))
   }
 
+  test("probe-shaped filter !cast(ident as boolean) prunes to ident=false files") {
+    // the incrementalCanonicalize probe reads the stored assign table
+    // filtered on its string ident partition via a boolean cast; this
+    // pins that exact predicate shape to PARTITION pruning (not a
+    // post-scan filter) under the manifest-planned index
+    val dir = tmpDir("identprune")
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("ident", "cb")) {
+      (0L until 40L).map(i => (i, (i % 4 != 0).toString, (i % 5).toInt))
+        .toDF("x", "ident", "cb")
+    }
+    val df = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+      .filter(!$"ident".cast("boolean"))
+    assert(df.select($"x").as[Long].collect().toSet ==
+      (0L until 40L).filter(_ % 4 == 0).toSet)
+    val scan = df.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val all = Snapshots.readManifest(dir, "t").fileRows.keys
+    val falseFiles = all.count(_.contains("ident=false/"))
+    assert(falseFiles > 0 && falseFiles < all.size)
+    assert(scan.inputRDDs().head.partitions.nonEmpty) // force file listing
+    df.count() // populate metrics
+    assert(scan.metrics("numFiles").value == falseFiles,
+      s"expected only the $falseFiles ident=false files to be scanned")
+    deleteRec(Path.of(dir))
+  }
+
   test("planned read == listed read across a copy-on-write patch chain incl. time travel") {
     val dir = tmpDir("chain")
     Snapshots.stage(spark, dir, "t", "p1", resume = false,
