@@ -865,7 +865,7 @@ object SparkEntry {
       t(dir, "documents").select(col("doc_id"),
         graft.functions.functions.rolling_minhash(col("text"), 16).as("fp"))
     }),
-    // ---- multimodal (binary payloads + typed metadata; stub codec) ----
+    // ---- multimodal (binary payloads + typed metadata; JvmCodec) ----
     // metadata aggregation over a media table derived from `documents`
     // by pure integer arithmetic — SQL-expressible, so the groupBy has
     // a DuckDB twin recomputing the same derivation. (On a stored
@@ -879,9 +879,10 @@ object SparkEntry {
         .select(col("kind"), col("n"), col("avg_duration_ms"),
           col("max_width").cast("long").as("max_width"))
     }),
-    // the decode→embed→search composition WITH an oracle: features come
-    // from the stub codec's SHA-256 derivation over the documents-
-    // derived media payloads (UTF-8 text bytes) — DuckDB recomputes the
+    // the decode→embed→search composition WITH an oracle: the
+    // documents-derived media payloads are UTF-8 text bytes (no PNG/WAV
+    // container), so JvmCodec deterministically takes its SHA-256
+    // digest-fallback feature on every row — DuckDB recomputes the
     // digest with its own sha256(), reassembles the same 16 big-endian
     // byte pairs, and replays the cosine top-k. (Each feature value
     // n/2^15 − 1 is exactly representable in BOTH float32 and float64,
@@ -1595,7 +1596,8 @@ object SparkEntry {
         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3""".stripMargin,
-    // the stub codec's decode: 16 features from sha256(payload) — byte
+    // JvmCodec's digest-fallback feature (text payloads decode as
+    // neither PNG nor WAV): 16 features from sha256(payload) — byte
     // pair 2k,2k+1 (hex chars 4k+1..4k+4, big-endian) → n/2^15 − 1
     "media_sim_topk" ->
       """WITH s AS (SELECT doc_id, sha256(text) AS h FROM documents),
