@@ -373,7 +373,8 @@ object Pipeline {
         s"no pinned epoch in $runDir — run Pipeline.pinEpoch first"))
 
     // 1. delta-only extract (idempotent per runId)
-    extractDeltaOnce(spark, newFiles, runDir, runId, cfg)
+    graft.store.IOStat.timed("pin.extract")(
+      extractDeltaOnce(spark, newFiles, runDir, runId, cfg))
     val myV = Snapshots.versions(runDir, "extract").find(v =>
       Snapshots.readManifestVersion(runDir, "extract", v).runId == runId).get
     val deltaTriples = Snapshots
@@ -397,20 +398,22 @@ object Pipeline {
       if (deltaExtractRows <= SkewJoin.BroadcastableRightRows) broadcast(df)
       else df
     val entsOld = oldUnion("entities")
-    val newEnts = appendOnce(spark, runDir, "entities", runId) {
+    val newEnts = graft.store.IOStat.timed("pin.entities")(
+      appendOnce(spark, runDir, "entities", runId) {
       val deltaForms = Linking.entitiesOf(deltaTriples)
       val existing = entsOld
         .join(hinted(deltaForms.select("entityId")), Seq("entityId"))
         .select("entityId").distinct()
       deltaForms.join(hinted(existing), Seq("entityId"), "left_anti")
-    }
+    })
 
     // 3. delta shingles + band keys under the PINNED census
     val hot = pinnedHot(spark, runDir)
-    val deltaShingled = appendOnce(spark, runDir, "ep_shingles", runId) {
-      Linking.shingleTable(
-        newEnts.filter(col("pred").isin(Linking.FuzzyPreds: _*)), cfg.link)
-    }
+    val deltaShingled = graft.store.IOStat.timed("pin.shingles")(
+      appendOnce(spark, runDir, "ep_shingles", runId) {
+        Linking.shingleTable(
+          newEnts.filter(col("pred").isin(Linking.FuzzyPreds: _*)), cfg.link)
+      })
 
     // 3b. CENSUS DRIFT — what the frozen epoch is silently costing:
     // of the delta's distinct (pred, shingle) keys, the fraction whose
@@ -438,11 +441,12 @@ object Pipeline {
           "(global relink, bumps the epoch) then pinEpoch")
     }
 
-    val deltaKeys = appendOnce(spark, runDir, "ep_keys", runId,
-      Map("censusDrift" -> f"$drift%.6f",
-        "driftSec" -> f"$driftSec%.2f")) {
-      Linking.bandedKeyTable(deltaShingled, cfg.link, hot)
-    }
+    val deltaKeys = graft.store.IOStat.timed("pin.keys")(
+      appendOnce(spark, runDir, "ep_keys", runId,
+        Map("censusDrift" -> f"$drift%.6f",
+          "driftSec" -> f"$driftSec%.2f")) {
+        Linking.bandedKeyTable(deltaShingled, cfg.link, hot)
+      })
     val deltaKeyRows = Snapshots.versions(runDir, "ep_keys")
       .flatMap(v => {
         val m = Snapshots.readManifestVersion(runDir, "ep_keys", v)
@@ -451,13 +455,14 @@ object Pipeline {
 
     // 4. new edges = delta-vs-all (exact-norm + banded fuzzy), each
     // pair carrying >=1 delta endpoint — disjoint from stored edges
-    val deltaLinks = appendOnce(spark, runDir, "link_edges", runId) {
-      val keysAll = lineageUnion(spark, runDir, "ep_keys")
-      val shingledAll = lineageUnion(spark, runDir, "ep_shingles")
-      Linking.deltaExactEdges(entsOld, newEnts, deltaExtractRows)
-        .unionByName(Linking.deltaFuzzyEdges(deltaKeys, keysAll,
-          shingledAll, cfg.link, deltaKeyRows))
-    }
+    val deltaLinks = graft.store.IOStat.timed("pin.links")(
+      appendOnce(spark, runDir, "link_edges", runId) {
+        val keysAll = lineageUnion(spark, runDir, "ep_keys")
+        val shingledAll = lineageUnion(spark, runDir, "ep_shingles")
+        Linking.deltaExactEdges(entsOld, newEnts, deltaExtractRows)
+          .unionByName(Linking.deltaFuzzyEdges(deltaKeys, keysAll,
+            shingledAll, cfg.link, deltaKeyRows))
+      })
     val deltaLinkRows = Snapshots.versions(runDir, "link_edges")
       .flatMap(v => {
         val m = Snapshots.readManifestVersion(runDir, "link_edges", v)
@@ -467,8 +472,9 @@ object Pipeline {
     // 5. canonicalize + materialize: O(delta) bucket patches when the
     // layout and bounds allow (see incrementalCanonicalize), else the
     // global tail over the full (narrow) unions
-    val ccIters = incrementalCanonicalize(spark, runDir, runId, cfg,
-      deltaTriples, newEnts, deltaLinks, deltaLinkRows, deltaExtractRows)
+    val ccIters = graft.store.IOStat.timed("pin.canon")(
+      incrementalCanonicalize(spark, runDir, runId, cfg,
+        deltaTriples, newEnts, deltaLinks, deltaLinkRows, deltaExtractRows))
       .getOrElse {
         val allTriples = Snapshots.versions(runDir, "extract")
           .map(v => Snapshots.readVersion(spark, runDir, "extract", v))

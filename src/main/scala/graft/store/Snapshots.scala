@@ -353,8 +353,9 @@ object Snapshots {
       perFile.map { case (k, (r, _)) => k -> r }, wallMs, metrics,
       version = Some(version),
       fileBytes = Some(perFile.map { case (k, (_, b)) => k -> b }),
-      dataSchema = perFile.keys.headOption.map(f =>
-        fileSchema(spark, s"$dir/$f").json),
+      dataSchema = derivedSchema(df, partitionBy)
+        .orElse(perFile.keys.headOption.map(f =>
+          fileSchema(spark, s"$dir/$f"))).map(_.json),
       partSchema = inferPartSchema(partitionBy, perFile.keys).map(_.json))
     val sd = stageDir(runDir, stageName)
     writeManifest(sd, versionedManifestName(version), m)
@@ -437,12 +438,13 @@ object Snapshots {
         })
       }
     val t0 = System.nanoTime()
-    val w1 = rewrite.write.mode(SaveMode.Overwrite)
+    val rdf = rewrite
+    val w1 = rdf.write.mode(SaveMode.Overwrite)
       .option("compression", StageCompression)
     (if (partitionBy.nonEmpty) w1.partitionBy(partitionBy: _*) else w1)
       .parquet(s"$dir/patch")
-    priorKept.map(append.unionByName(_)).getOrElse(append)
-      .write.mode(SaveMode.Overwrite)
+    val adf = priorKept.map(append.unionByName(_)).getOrElse(append)
+    adf.write.mode(SaveMode.Overwrite)
       .option("compression", StageCompression)
       .parquet(s"$dir/append")
     val wallMs = (System.nanoTime() - t0) / 1000000L
@@ -472,10 +474,12 @@ object Snapshots {
       baseFiles = Some(carried),
       fileBytes = Some(perFile.map { case (k, (_, b)) => k -> b }),
       baseFileBytes = carriedBytes,
-      dataSchema = patchFiles.headOption.map(f =>
-        fileSchema(spark, s"$dir/$f").json),
-      appendSchema = appendFiles.headOption.map(f =>
-        fileSchema(spark, s"$dir/$f").json),
+      dataSchema = derivedSchema(rdf, partitionBy)
+        .orElse(patchFiles.headOption.map(f =>
+          fileSchema(spark, s"$dir/$f"))).map(_.json),
+      appendSchema = derivedSchema(adf, Nil)
+        .orElse(appendFiles.headOption.map(f =>
+          fileSchema(spark, s"$dir/$f"))).map(_.json),
       partSchema = inferPartSchema(partitionBy,
         patchFiles.map(_.stripPrefix("patch/"))).map(_.json))
     writeManifest(sd, versionedManifestName(version), m)
@@ -539,6 +543,51 @@ object Snapshots {
     */
   private def fileSchema(spark: SparkSession, absFile: String) =
     IOStat.timed("snap.schemaCap")(spark.read.parquet(absFile).schema)
+
+  /** Read-back schema derived from the FRAME we just wrote, skipping
+    * the per-publish driver footer read [[fileSchema]] costs (~70 ms
+    * locally; an object-store GET round-trip at real scale — pure
+    * serial driver latency on every publish). Sound because Spark
+    * embeds the Catalyst schema in the footer it writes and read-back
+    * is exactly that schema with `asNullable` applied at the relation
+    * level (SchemaSpec pins the equivalence against real inference) —
+    * so for types whose parquet round-trip is the identity, the
+    * written frame already KNOWS its read-back schema. Types with
+    * lossy round-trips (char/varchar annotations, UDTs, null type,
+    * timestamp_ntz under legacy confs) return None → the caller falls
+    * back to [[fileSchema]].
+    */
+  private def derivedSchema(df: DataFrame, partitionBy: Seq[String]
+                           ): Option[org.apache.spark.sql.types.StructType] = {
+    import org.apache.spark.sql.types._
+    def exact(dt: DataType): Boolean = dt match {
+      case StringType | LongType | IntegerType | ShortType | ByteType |
+           BooleanType | DoubleType | FloatType | BinaryType | DateType |
+           TimestampType => true
+      case _: DecimalType => true
+      case a: ArrayType => exact(a.elementType)
+      case m: MapType => exact(m.keyType) && exact(m.valueType)
+      case s: StructType => s.fields.forall(f => exact(f.dataType))
+      case _ => false
+    }
+    // relation-level asNullable, recursively (what read-back applies)
+    def nullify(dt: DataType): DataType = dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        StructField(f.name, nullify(f.dataType), nullable = true,
+          f.metadata)))
+      case a: ArrayType => ArrayType(nullify(a.elementType),
+        containsNull = true)
+      case m: MapType => MapType(nullify(m.keyType), nullify(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+    val data = df.schema.fields.filterNot(f => partitionBy.contains(f.name))
+    if (data.forall(f => exact(f.dataType)))
+      Some(StructType(data.map(f =>
+        StructField(f.name, nullify(f.dataType), nullable = true,
+          f.metadata))))
+    else None
+  }
 
   /** Partition schema a planned read can trust WITHOUT re-running
     * Spark's partition inference at read time: per column, all dir

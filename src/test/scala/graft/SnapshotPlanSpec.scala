@@ -156,6 +156,50 @@ class SnapshotPlanSpec extends SparkSpec {
     deleteRec(Path.of(dir))
   }
 
+  test("derived manifest schema == real file inference (nested, non-nullable source)") {
+    val dir = tmpDir("dschema")
+    Snapshots.stage(spark, dir, "t", "p1", resume = false,
+      partitionBy = Seq("k")) {
+      // typed source → non-nullable longs, nested struct + array:
+      // the derived read-back schema must match inference exactly
+      // (everything asNullable'd at the relation level)
+      Seq((1L, (2L, "a"), Seq(1L, 2L), 0), (3L, (4L, "b"), Seq(3L), 1))
+        .toDF("x", "st", "arr", "k")
+    }
+    val m = Snapshots.readManifest(dir, "t")
+    val recorded = org.apache.spark.sql.types.DataType
+      .fromJson(m.dataSchema.get)
+    val file = m.fileRows.keys.head
+    val inferred = spark.read
+      .parquet(s"${Snapshots.stageDir(dir, "t")}/snap=1/$file").schema
+    assert(recorded == inferred)
+    val planned = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+    val listed = withPlan(on = false)(Snapshots.read(spark, dir, "t"))
+    assert(planned.schema == listed.schema)
+    assert(rowsOf(planned) == rowsOf(listed))
+    deleteRec(Path.of(dir))
+  }
+
+  test("non-exact round-trip type (timestamp_ntz) falls back to footer-read schema capture") {
+    val dir = tmpDir("ntz")
+    Snapshots.stage(spark, dir, "t", "p1", resume = false) {
+      Seq((1L, "2024-01-02T03:04:05"), (2L, "2024-02-03T04:05:06"))
+        .toDF("x", "s")
+        .withColumn("ts", org.apache.spark.sql.functions
+          .to_timestamp_ntz($"s")).drop("s")
+    }
+    val m = Snapshots.readManifest(dir, "t")
+    val recorded = org.apache.spark.sql.types.DataType
+      .fromJson(m.dataSchema.get)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(recorded("ts").dataType.typeName == "timestamp_ntz")
+    val planned = withPlan(on = true)(Snapshots.read(spark, dir, "t"))
+    val listed = withPlan(on = false)(Snapshots.read(spark, dir, "t"))
+    assert(planned.schema == listed.schema)
+    assert(rowsOf(planned) == rowsOf(listed))
+    deleteRec(Path.of(dir))
+  }
+
   test("ambiguous partition values refuse a recorded schema and fall back to listing") {
     val dir = tmpDir("amb")
     // date-like partition values: Spark inference would type them as
