@@ -707,13 +707,14 @@ object Pipeline {
           ($"canonicalId" === $"entityId").cast("string"))
         .withColumn("cb", cbOf($"canonicalId"))
     }
-    Snapshots.stagePatch(spark, runDir, "assign", runId,
-      dirs(mergedOldRoots), Seq("ident", "cb"), tailMetrics) {
-      assignContent.filter(inRew(aBuckets)).repartition($"ident", $"cb")
-    } {
-      assignContent.filter(!inRew(aBuckets))
-        .repartition(1).sortWithinPartitions($"cb")
-    }
+    def patchAssign(): Unit =
+      Snapshots.stagePatch(spark, runDir, "assign", runId,
+        dirs(mergedOldRoots), Seq("ident", "cb"), tailMetrics) {
+        assignContent.filter(inRew(aBuckets)).repartition($"ident", $"cb")
+      } {
+        assignContent.filter(!inRew(aBuckets))
+          .repartition(1).sortWithinPartitions($"cb")
+      }
 
     // --- 5. nodes patch: every old root in a real merge loses or
     // recombines its row; merged rows rebuild from the constituent
@@ -746,14 +747,15 @@ object Pipeline {
           $"m.norm".as("canonicalNorm"), $"kind", $"memberCount")
       keep.unionByName(combined).withColumn("cb", cbOf($"canonicalId"))
     }
-    Snapshots.stagePatch(spark, runDir, "nodes", runId,
-      dirs(changedOldRoots), Seq("cb"), tailMetrics) {
-      nodesContent.filter(inRew(nBuckets))
-        .repartition($"cb").sortWithinPartitions($"cb", $"kind")
-    } {
-      nodesContent.filter(!inRew(nBuckets))
-        .repartition(1).sortWithinPartitions($"cb", $"kind")
-    }
+    def patchNodes(): Unit =
+      Snapshots.stagePatch(spark, runDir, "nodes", runId,
+        dirs(changedOldRoots), Seq("cb"), tailMetrics) {
+        nodesContent.filter(inRew(nBuckets))
+          .repartition($"cb").sortWithinPartitions($"cb", $"kind")
+      } {
+        nodesContent.filter(!inRew(nBuckets))
+          .repartition(1).sortWithinPartitions($"cb", $"kind")
+      }
 
     // --- 6. edges patch: stored edge rows change ONLY when their
     // canonicalId was a merged-away root (absorbing roots keep their
@@ -778,14 +780,40 @@ object Pipeline {
           $"conf", $"repo", $"path", $"commit")
       remapped.unionByName(deltaE).withColumn("cb", cbOf($"canonicalId"))
     }
-    Snapshots.stagePatch(spark, runDir, "edges", runId,
-      dirs(mergedOldRoots), Seq("cb"), tailMetrics) {
-      edgesContent.filter(inRew(aBuckets))
-        .repartition($"cb").sortWithinPartitions($"cb", $"pred")
-    } {
-      edgesContent.filter(!inRew(aBuckets))
-        .repartition(1).sortWithinPartitions($"cb", $"pred")
-    }
+    def patchEdges(): Unit =
+      Snapshots.stagePatch(spark, runDir, "edges", runId,
+        dirs(mergedOldRoots), Seq("cb"), tailMetrics) {
+        edgesContent.filter(inRew(aBuckets))
+          .repartition($"cb").sortWithinPartitions($"cb", $"pred")
+      } {
+        edgesContent.filter(!inRew(aBuckets))
+          .repartition(1).sortWithinPartitions($"cb", $"pred")
+      }
+
+    // --- 7. publish the three patches CONCURRENTLY: each touches
+    // ONLY its own stage (the pre-patch frames above were assembled
+    // from the pre-patch manifests, pinned to their file lists), so
+    // the three narrow publish jobs overlap instead of serializing
+    // three rounds of write + commit + footer latency — the dominant
+    // term of the O(delta) tail once the data is delta-sized. Crash
+    // semantics are unchanged: ANY partially-patched subset (now any
+    // of 2^3 - 2 instead of a prefix) is caught by the
+    // `done.exists(identity)` guard above and heals through the
+    // global tail. Each future is awaited — a failure propagates
+    // only after all three publishes finished or failed, so no write
+    // is still in flight when the caller sees the error.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done3 = Seq(
+        scala.concurrent.Future(patchAssign()),
+        scala.concurrent.Future(patchNodes()),
+        scala.concurrent.Future(patchEdges()))
+        .map(f => scala.util.Try(scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)))
+      done3.collectFirst { case scala.util.Failure(e) => throw e }
+    } finally pool.shutdown()
     Some(0)
   }
 
@@ -997,9 +1025,12 @@ object Pipeline {
     // canonicalNorm argmin column so comp merges recombine, see
     // nodeTableFull).
     val nodesParts = partCols(Seq("kind"), keepBase = false)
-    val nodes = Snapshots.stage(spark, runDir, "nodes", runId, resume,
-      partitionBy = nodesParts, metrics = cbMetrics) {
-      arranged(withCb(nodeTableFull(assign)), nodesParts, Seq("kind"))
+    def nodesStage(): Unit = {
+      Snapshots.stage(spark, runDir, "nodes", runId, resume,
+        partitionBy = nodesParts, metrics = cbMetrics) {
+        arranged(withCb(nodeTableFull(assign)), nodesParts, Seq("kind"))
+      }
+      (): Unit
     }
 
     // Stage 4b — edges: triples rewritten onto canonical ids via the
@@ -1015,7 +1046,8 @@ object Pipeline {
     // strictly smaller than the full 1:1 map the previous design
     // joined (AQE covers hub-entity skew there).
     val edgesParts = partCols(Seq("pred"), keepBase = false)
-    val edges = Snapshots.stage(spark, runDir, "edges", runId, resume,
+    def edgesStage(): Unit = {
+      Snapshots.stage(spark, runDir, "edges", runId, resume,
       partitionBy = edgesParts, metrics = cbMetrics) {
       val withId = triples.withColumn("entityId", Linking.idCol($"pred", $"obj"))
       val deltaRows = Snapshots.readManifest(runDir, "assign").fileRows
@@ -1029,7 +1061,26 @@ object Pipeline {
       arranged(withCb(joined.select($"subj", $"pred",
         coalesce($"canonicalId", $"entityId").as("canonicalId"), $"conf",
         $"repo", $"path", $"commit")), edgesParts, Seq("pred"))
+      }
+      (): Unit
     }
+
+    // nodes and edges both derive from the PUBLISHED assign snapshot
+    // and publish disjoint stages — run the two narrow materializations
+    // concurrently (same shape and crash contract as the tail-patch
+    // parallel publish in incrementalCanonicalize: resume re-checks
+    // each stage's own manifest, so any crashed subset heals)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done2 = Seq(
+        scala.concurrent.Future(nodesStage()),
+        scala.concurrent.Future(edgesStage()))
+        .map(f => scala.util.Try(scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)))
+      done2.collectFirst { case scala.util.Failure(e) => throw e }
+    } finally pool.shutdown()
 
     ccIters
   }

@@ -550,7 +550,7 @@ object Snapshots {
     * serial driver latency on every publish). Sound because Spark
     * embeds the Catalyst schema in the footer it writes and read-back
     * is exactly that schema with `asNullable` applied at the relation
-    * level (SchemaSpec pins the equivalence against real inference) —
+    * level (SnapshotPlanSpec pins the equivalence against inference) —
     * so for types whose parquet round-trip is the identity, the
     * written frame already KNOWS its read-back schema. Types with
     * lossy round-trips (char/varchar annotations, UDTs, null type,
