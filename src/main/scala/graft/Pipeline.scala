@@ -72,7 +72,19 @@ object Pipeline {
       // mean over a uniform key sample is enough, and exact dfs keep
       // near-cap keys classified correctly (row-sampling does not;
       // see censusDrift).
-      driftSample: Double = 1.0
+      driftSample: Double = 1.0,
+      // Append-maintenance trigger for the O(delta) tail: after a
+      // patched ingest, any of assign/nodes/edges whose net append
+      // rows exceed this fraction of the table folds into a fresh
+      // FULL snapshot (Snapshots.compact — the Iceberg
+      // rewrite_data_files shape). Amortization: a fold costs
+      // O(table) but only fires every ~frac·table/delta ingests, so
+      // the amortized per-ingest cost stays O(delta/frac); between
+      // folds, tiered tombstoned append sets keep per-ingest append
+      // work O(delta·log). None (default) = never fold here — run
+      // compactTail as an explicit maintenance job instead, the
+      // Iceberg operational shape.
+      compactAppendFrac: Option[Double] = None
   )
 
   final case class Result(
@@ -814,7 +826,45 @@ object Pipeline {
           f, scala.concurrent.duration.Duration.Inf)))
       done3.collectFirst { case scala.util.Failure(e) => throw e }
     } finally pool.shutdown()
+    cfg.compactAppendFrac.foreach(compactTail(spark, runDir, runId, _))
     Some(0)
+  }
+
+  /** Append maintenance for the patched tail tables (see
+    * Config.compactAppendFrac): fold any of assign/nodes/edges whose
+    * net append rows exceed `frac` of the table into a fresh full
+    * snapshot, re-clustered the way the full-run publishes cluster
+    * them. Idempotent per runId (a crash between folds re-runs only
+    * the stages still over threshold; a re-run after all folds is a
+    * no-op). Returns the stages folded.
+    */
+  def compactTail(spark: SparkSession, runDir: String, runId: String,
+                  frac: Double): Seq[String] = {
+    import org.apache.spark.sql.DataFrame
+    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
+      "assign" -> ((d: DataFrame) => d.repartition(col("ident"), col("cb"))
+        .sortWithinPartitions(col("cb"))),
+      "nodes" -> ((d: DataFrame) => d.repartition(col("cb"))
+        .sortWithinPartitions(col("cb"), col("kind"))),
+      "edges" -> ((d: DataFrame) => d.repartition(col("cb"))
+        .sortWithinPartitions(col("cb"), col("pred"))))
+    shapes.flatMap { case (st, shape) =>
+      if (!Snapshots.isComplete(runDir, st)) None
+      else {
+        val m = Snapshots.readManifest(runDir, st)
+        val (appendRows, sets) = Snapshots.appendStats(m)
+        if (m.rows > 0 && appendRows.toDouble / m.rows >= frac) {
+          // carry the layout stamp: the next ingest's patch
+          // precondition reads canonBuckets off the live manifest
+          val keep = m.metrics.view
+            .filterKeys(Set("canonBuckets", "epoch")).toMap
+          Snapshots.compact(spark, runDir, st, runId,
+            keep ++ Map("appendRowsFolded" -> appendRows.toString,
+              "appendSetsFolded" -> sets.toString))(shape)
+          Some(st)
+        } else None
+      }
+    }
   }
 
   /** Append a DELTA snapshot version, idempotent per runId: a

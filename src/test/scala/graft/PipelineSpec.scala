@@ -405,6 +405,45 @@ class PipelineSpec extends SparkSpec {
     assert(nodeSet(inc3) == nodeSet(fullAb))
   }
 
+  test("compactAppendFrac folds the tail tables after a pinned ingest; chain stays exact") {
+    def f(name: String, forms: Seq[String]) = SourceFile("r", name, "c0",
+      "md", forms.map(w => s"q: $w?").mkString("\n"))
+    val classes = (0 until 40).map(i => s"cword$i")
+    val a = classes.zipWithIndex.map { case (w, i) => f(s"a$i.txt", Seq(w)) }
+    val b = classes.zipWithIndex.collect {
+      case (w, i) if i % 2 == 0 => f(s"b$i.txt", Seq(w.toUpperCase))
+    } :+ f("bnew.txt", Seq("cbrandnew1"))
+    val c = classes.zipWithIndex.collect {
+      case (w, i) if i % 2 == 1 => f(s"c$i.txt", Seq(w + "."))
+    } :+ f("cnew.txt", Seq("cbrandnew2"))
+    // frac ~0: fold whenever a patched stage holds ANY append rows
+    val cfg = Pipeline.Config(canonBuckets = Some(64),
+      arrangePartitions = Some(4), compactAppendFrac = Some(1e-9))
+    val inc = tmpDir("icfold")
+    Pipeline.run(spark, a.toDS(), inc, "if-base", cfg)
+    Pipeline.pinEpoch(spark, inc, "if-pin", cfg)
+    Pipeline.runIncrementalPinned(spark, b.toDS(), inc, "if-d1", cfg)
+    // delta 1 appended new entities → the trigger folded; append mass
+    // and set count are zero and the fold is stamped
+    Seq("assign", "nodes", "edges").foreach { st =>
+      val m = Snapshots.readManifest(inc, st)
+      assert(m.metrics.get("compacted").contains("true"), s"$st not folded")
+      assert(Snapshots.appendStats(m) == (0L, 0), st)
+      assert(m.baseFiles.forall(_.isEmpty), st)
+    }
+    // a second pinned ingest PATCHES cleanly on top of the folded
+    // snapshots, then folds again
+    val r2 = Pipeline.runIncrementalPinned(spark, c.toDS(), inc, "if-d2", cfg)
+    assert(Snapshots.readManifest(inc, "assign").metrics
+      .get("compacted").contains("true"))
+    val full = tmpDir("icfold-full")
+    val rFull = Pipeline.run(spark, (a ++ b ++ c).toDS(), full, "if-full",
+      cfg.copy(compactAppendFrac = None))
+    assert(nodeSet(inc) == nodeSet(full))
+    assert(edgeSet(inc) == edgeSet(full))
+    assert(r2.nodes == rFull.nodes && r2.edges == rFull.edges)
+  }
+
   test("census drift: measured per pinned ingest, refuses a stale epoch, re-pin recovers") {
     val all = FilesGen.local(n)
     val (a, rest) = all.splitAt(n / 2)

@@ -215,4 +215,161 @@ class SnapshotPlanSpec extends SparkSpec {
     assert(df.count() == 2)
     deleteRec(Path.of(dir))
   }
+
+  /** Runs `body` with tiered appends forced on/off. */
+  private def withTiering[T](on: Boolean)(body: => T): T = {
+    val prev = Snapshots.appendTiering
+    Snapshots.appendTiering = on
+    try body finally Snapshots.appendTiering = prev
+  }
+
+  private def readSet(dir: String): Set[(Long, Int)] =
+    Snapshots.read(spark, dir, "t").select("x", "b")
+      .as[(Long, Int)].collect().toSet
+
+  test("tiered appends: a large prior set is CARRIED under tombstones, rows stay exact") {
+    val dir = tmpDir("tier")
+    withTiering(on = true) {
+      Snapshots.stage(spark, dir, "t", "p1", resume = false,
+        partitionBy = Seq("b")) {
+        Seq((1L, 0), (2L, 1), (3L, 2)).toDF("x", "b")
+      }
+      // v2: rewrite b=0, append TEN rows spanning b=1 / b=2
+      Snapshots.stagePatch(spark, dir, "t", "p2", Seq("b=0"), Seq("b")) {
+        Seq((10L, 0)).toDF("x", "b")
+      } {
+        ((100L to 104L).map((_, 1)) ++ (200L to 204L).map((_, 2)))
+          .toDF("x", "b")
+      }
+      // v3: rewrite b=2 (full new content (30,2)), tiny append. The
+      // ten-row prior set must NOT be re-read/rewritten: it stays
+      // carried, its five b=2 rows tombstoned
+      Snapshots.stagePatch(spark, dir, "t", "p3", Seq("b=2"), Seq("b")) {
+        Seq((30L, 2)).toDF("x", "b")
+      } {
+        Seq((300L, 1)).toDF("x", "b")
+      }
+      val m3 = Snapshots.readManifest(dir, "t")
+      val appendCarried = m3.baseFiles.get.keys
+        .filter(_.contains("/append/")).toVector
+      assert(appendCarried.nonEmpty &&
+        appendCarried.forall(_.startsWith("snap=2/append/d")),
+        s"the v2 append set must be carried by reference: $appendCarried")
+      assert(m3.appendExcludes.get.values.flatten.toSet == Set("b=2"))
+      val expect3 = Set((10L, 0), (2L, 1), (30L, 2)) ++
+        (100L to 104L).map((_, 1)).toSet + ((300L, 1))
+      assert(readSet(dir) == expect3)
+      assert(m3.rows == expect3.size.toLong,
+        s"manifest rows must be exact under tombstones: ${m3.rows}")
+      // planned and listed paths agree THROUGH the tombstone filter
+      assert(rowsOf(withPlan(on = true)(
+          Snapshots.read(spark, dir, "t")).select("x", "b")) ==
+        rowsOf(withPlan(on = false)(
+          Snapshots.read(spark, dir, "t")).select("x", "b")))
+      // time travel: v2 still sees all ten append rows
+      assert(Snapshots.readVersion(spark, dir, "t", 2).count() == 13)
+      // v4: rewrite b=1 — the carried set's net visible rows drop to
+      // zero (both its value groups now tombstoned) and the cascade
+      // absorbs it; its files leave the manifest
+      Snapshots.stagePatch(spark, dir, "t", "p4", Seq("b=1"), Seq("b")) {
+        Seq((40L, 1)).toDF("x", "b")
+      } {
+        Seq((400L, 0)).toDF("x", "b")
+      }
+      val m4 = Snapshots.readManifest(dir, "t")
+      assert(!m4.baseFiles.get.keys.exists(_.startsWith("snap=2/append")))
+      val expect4 = Set((10L, 0), (400L, 0), (40L, 1), (30L, 2))
+      assert(readSet(dir) == expect4 && m4.rows == expect4.size.toLong)
+    }
+    deleteRec(Path.of(dir))
+  }
+
+  test("tiered == legacy consolidation over the same patch sequence (content and rows)") {
+    def run(tiering: Boolean): (Set[(Long, Int)], Long) = {
+      val dir = tmpDir(s"ab$tiering")
+      try withTiering(on = tiering) {
+        Snapshots.stage(spark, dir, "t", "p1", resume = false,
+          partitionBy = Seq("b")) {
+          (0L until 12L).map(i => (i, (i % 3).toInt)).toDF("x", "b")
+        }
+        Snapshots.stagePatch(spark, dir, "t", "p2", Seq("b=0"), Seq("b")) {
+          Seq((100L, 0)).toDF("x", "b")
+        } { ((200L to 206L).map((_, 1)) :+ (210L, 2L.toInt)).toDF("x", "b") }
+        Snapshots.stagePatch(spark, dir, "t", "p3", Seq("b=1"), Seq("b")) {
+          Seq((101L, 1)).toDF("x", "b")
+        } { Seq((301L, 2)).toDF("x", "b") }
+        Snapshots.stagePatch(spark, dir, "t", "p4", Seq("b=2"), Seq("b")) {
+          Seq((102L, 2)).toDF("x", "b")
+        } { spark.emptyDataset[(Long, Int)].toDF("x", "b") }
+        (readSet(dir), Snapshots.readManifest(dir, "t").rows)
+      } finally deleteRec(Path.of(dir))
+    }
+    val (tiered, tieredRows) = run(tiering = true)
+    val (legacy, legacyRows) = run(tiering = false)
+    assert(tiered == legacy, "tiered appends changed the table content")
+    assert(tieredRows == legacyRows && tieredRows == tiered.size.toLong)
+  }
+
+  test("binary-counter cascade keeps the live append-set count logarithmic") {
+    val dir = tmpDir("cascade")
+    withTiering(on = true) {
+      Snapshots.stage(spark, dir, "t", "p1", resume = false,
+        partitionBy = Seq("b")) {
+        Seq((1L, 0), (2L, 1)).toDF("x", "b")
+      }
+      val k = 8
+      (1 to k).foreach { i =>
+        Snapshots.stagePatch(spark, dir, "t", s"p$i", Seq("b=0"), Seq("b")) {
+          Seq((1L, 0)).toDF("x", "b")
+        } { Seq((1000L + i, 1), (2000L + i, 1)).toDF("x", "b") }
+      }
+      val m = Snapshots.readManifest(dir, "t")
+      val sets = m.baseFiles.get.keys.filter(_.contains("/append/"))
+        .map(_.split("/part").head).toSet.size +
+        m.fileRows.keys.count(_.startsWith("append/")).min(1)
+      val bound = (math.log(k * 2.0) / math.log(2)).toInt + 1
+      assert(sets <= bound, s"live append sets $sets > log bound $bound")
+      assert(m.metrics("appendSets").toInt == sets)
+      // every appended row is still visible exactly once
+      assert(Snapshots.read(spark, dir, "t").count() == 2L + 2 * k)
+      assert(m.rows == 2L + 2 * k)
+    }
+    deleteRec(Path.of(dir))
+  }
+
+  test("compact folds buckets, patches and tombstoned appends into a full snapshot; old versions expire") {
+    val dir = tmpDir("compact")
+    withTiering(on = true) {
+      Snapshots.stage(spark, dir, "t", "p1", resume = false,
+        partitionBy = Seq("b")) {
+        Seq((1L, 0), (2L, 1), (3L, 2)).toDF("x", "b")
+      }
+      Snapshots.stagePatch(spark, dir, "t", "p2", Seq("b=0"), Seq("b")) {
+        Seq((10L, 0)).toDF("x", "b")
+      } { ((100L to 105L).map((_, 1)) :+ (200L, 2L.toInt)).toDF("x", "b") }
+      Snapshots.stagePatch(spark, dir, "t", "p3", Seq("b=2"), Seq("b")) {
+        Seq((30L, 2)).toDF("x", "b")
+      } { Seq((300L, 1)).toDF("x", "b") }
+      val before = readSet(dir)
+      val mPatched = Snapshots.readManifest(dir, "t")
+      assert(Snapshots.appendStats(mPatched)._1 > 0)
+      // pre-compact: carried files pin old versions against expiry
+      intercept[IllegalArgumentException](Snapshots.expire(dir, "t", 1))
+
+      Snapshots.compact(spark, dir, "t", "maint")()
+      val mC = Snapshots.readManifest(dir, "t")
+      assert(mC.metrics.get("compacted").contains("true"))
+      assert(mC.baseFiles.forall(_.isEmpty) &&
+        Snapshots.appendStats(mC) == (0L, 0))
+      assert(readSet(dir) == before, "compaction changed the content")
+      assert(mC.rows == before.size.toLong)
+      // partitioning survived the fold: files live under b=* dirs
+      assert(mC.fileRows.keys.forall(_.contains("b=")))
+      // every pre-compact version is now expirable (newest-first: the
+      // guard also protects files carried by EXPIRED-LATER manifests)
+      Seq(3, 2, 1).foreach(Snapshots.expire(dir, "t", _))
+      assert(readSet(dir) == before)
+    }
+    deleteRec(Path.of(dir))
+  }
 }
