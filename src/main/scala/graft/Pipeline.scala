@@ -84,7 +84,23 @@ object Pipeline {
       // work O(delta·log). None (default) = never fold here — run
       // compactTail as an explicit maintenance job instead, the
       // Iceberg operational shape.
-      compactAppendFrac: Option[Double] = None
+      compactAppendFrac: Option[Double] = None,
+      // MERGE-ON-READ canonicalization for pinned ingests (requires
+      // canonBuckets + incrementalCanon). The copy-on-write tail
+      // rewrites every bucket a merge touches; merge coverage is
+      // ≈ B·(1−e^(−merges/B)), so in the FREQUENT-SMALL-INGEST regime
+      // even a few hundred merges force a large-fraction table
+      // rewrite per micro-batch (SteadyStateBench measured ~45% of
+      // the table per 500-file delta). With deferMerges the ingest
+      // writes only O(delta) appends plus a tiny compressed CANON LOG
+      // (old root → new root, single-hop); readers resolve stale
+      // canonicals through one broadcast join (Pipeline.readNodes /
+      // readEdges — nodes additionally re-aggregate, which their
+      // schema combines associatively), and compactTail folds the log
+      // physically past compactAppendFrac. The LSM/Iceberg
+      // merge-on-read trade: O(delta) writes, a bounded read tax
+      // until the next fold.
+      deferMerges: Boolean = false
   )
 
   final case class Result(
@@ -570,8 +586,26 @@ object Pipeline {
     // (ccLocalThreshold)
     if (deltaExtractRows > SkewJoin.BroadcastableRightRows ||
       deltaLinkRows > cfg.ccLocalThreshold) return None
-    // crash-retry idempotence
-    val done = Tail.map(st => Snapshots.readManifest(runDir, st).runId == runId)
+    val deferred = cfg.deferMerges
+    val hadDirtyLog = canonLogDirty(runDir)
+    // a dirty canon log means stored canonicals are stale: the
+    // copy-on-write patch tail would bake the staleness into rewritten
+    // buckets — only the deferred tail (which resolves through the
+    // log) or the global tail (which recomputes from source and
+    // clears it) may run
+    if (hadDirtyLog && !deferred) return None
+    val prevLog: Map[Long, Long] =
+      if (deferred) canonLogMap(spark, runDir) else Map.empty
+    if (prevLog.size > cfg.ccLocalThreshold) return None
+    // crash-retry idempotence. In deferred mode the canon log is
+    // published LAST and acts as the ingest's commit record — a
+    // crash anywhere before it leaves a PARTIAL application, healed
+    // by the global tail exactly like a half-patched CoW ingest.
+    val done = Tail.map(st =>
+      Snapshots.readManifest(runDir, st).runId == runId) ++
+      (if (deferred) Seq(Snapshots.isComplete(runDir, CanonLogStage) &&
+        Snapshots.readManifest(runDir, CanonLogStage).runId == runId)
+      else Nil)
     if (done.forall(identity)) return Some(0)
     if (done.exists(identity)) return None
 
@@ -633,9 +667,15 @@ object Pipeline {
     // rows were pruned from the probe precisely because this default
     // reconstructs them. Their canonical is an OLD root either way:
     // a merge must remap stored rows, not just delta appends.
+    // stored canonicals resolve through the dirty canon log (deferred
+    // mode: prior merges were recorded, not rewritten — the stored
+    // value may be a merged-away root)
+    def resolve(c: Long): Long = prevLog.getOrElse(c, c)
     def rep(e: Long): Long =
       if (newIds.contains(e)) e
-      else { val c = oldCanon.getOrElse(e, e); oldRoots(c) = (); c }
+      else {
+        val c = resolve(oldCanon.getOrElse(e, e)); oldRoots(c) = (); c
+      }
     timing(tUf += _)(deltaLinks.select($"src", $"dst").as[(Long, Long)]
       .mapPartitions { it =>
         val buf = scala.collection.mutable.ArrayBuilder.make[Long]
@@ -671,7 +711,7 @@ object Pipeline {
     // stored canonical, then through the root remap; new forms: their
     // union-find root or themselves)
     val finalCanonDf = tripleIds.toSeq.map { id =>
-      (id, find(oldCanon.getOrElse(id, id)))
+      (id, find(resolve(oldCanon.getOrElse(id, id))))
     }.toDF("entityId", "fc")
 
     val cbOf = (c: org.apache.spark.sql.Column) =>
@@ -687,6 +727,97 @@ object Pipeline {
       "probeSec" -> f"${tProbe / 1e9}%.2f",
       "ufSec" -> f"${tUf / 1e9}%.2f",
       "delta" -> "patch")
+
+    // --- DEFERRED TAIL (Config.deferMerges): merge-on-read. No
+    // bucket rewrite at all — the three tables take O(delta)
+    // append-only patches and this ingest's merges are RECORDED in
+    // the compressed canon log instead of applied. Readers resolve
+    // (readNodes/readEdges); compactTail applies the log physically
+    // past the threshold. The log publishes LAST as the ingest's
+    // commit record (see the done-check above).
+    if (deferred) {
+      val deltaAssignD = newEnts
+        .join(broadcast(deltaCompDf), Seq("entityId"), "left")
+        .select($"pred", $"obj", $"norm", $"entityId",
+          coalesce($"comp", $"entityId").as("canonicalId"))
+      val assignApp = deltaAssignD
+        .withColumn("ident",
+          ($"canonicalId" === $"entityId").cast("string"))
+        .withColumn("cb", cbOf($"canonicalId"))
+        .repartition(1).sortWithinPartitions($"cb")
+      val nodesApp = deltaAssignD.groupBy($"canonicalId")
+        .agg(min(struct($"norm", $"obj")).as("m"),
+          min($"pred").as("kind"), count(lit(1)).as("memberCount"))
+        .select($"canonicalId", $"m.obj".as("canonical"),
+          $"m.norm".as("canonicalNorm"), $"kind", $"memberCount")
+        .withColumn("cb", cbOf($"canonicalId"))
+        .repartition(1).sortWithinPartitions($"cb", $"kind")
+      val edgesApp = deltaTriples
+        .withColumn("subj", concat($"repo", lit("/"), $"path"))
+        .withColumn("entityId", Linking.idCol($"pred", $"obj"))
+        .join(broadcast(finalCanonDf), Seq("entityId"), "left")
+        .select($"subj", $"pred",
+          coalesce($"fc", $"entityId").as("canonicalId"),
+          $"conf", $"repo", $"path", $"commit")
+        .withColumn("cb", cbOf($"canonicalId"))
+        .repartition(1).sortWithinPartitions($"cb", $"pred")
+
+      // captured BEFORE the appends publish: the live nodes manifest
+      // is about to gain this delta's constituent rows
+      val prevLogical =
+        if (hadDirtyLog)
+          Snapshots.readManifest(runDir, CanonLogStage)
+            .metrics("logicalNodes").toLong
+        else Snapshots.readManifest(runDir, "nodes").rows
+
+      def appendOnly(st: String, partBy: Seq[String],
+                     app: DataFrame): Unit =
+        Snapshots.stagePatch(spark, runDir, st, runId, Nil, partBy,
+          tailMetrics + ("defer" -> "true")) {
+          app.filter(lit(false))
+        } { app }
+
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val done3 = Seq(
+          scala.concurrent.Future(
+            appendOnly("assign", Seq("ident", "cb"), assignApp)),
+          scala.concurrent.Future(
+            appendOnly("nodes", Seq("cb"), nodesApp)),
+          scala.concurrent.Future(
+            appendOnly("edges", Seq("cb"), edgesApp)))
+          .map(f => scala.util.Try(scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf)))
+        done3.collectFirst { case scala.util.Failure(e) => throw e }
+      } finally pool.shutdown()
+
+      // compressed single-hop: prior targets re-resolve through this
+      // ingest's union-find, so a reader never follows a chain
+      val fullLog = prevLog.map { case (k, v) => (k, find(v)) } ++
+        mergedOldRoots.map(r => (r, find(r)))
+      // logical node count by driver arithmetic (stored node ROWS
+      // over-count merged components until the next fold): previous
+      // logical count, plus delta components that created a NEW root,
+      // minus old roots merged away
+      val newDeltaRoots = {
+        val seen = scala.collection.mutable.LongMap.empty[Unit]
+        newIds.keysIterator.foreach { e =>
+          val r = find(e); if (newIds.contains(r)) seen(r) = ()
+        }
+        seen.size
+      }
+      val logical = prevLogical + newDeltaRoots - mergedOldRoots.length
+      Snapshots.stage(spark, runDir, CanonLogStage, runId,
+        resume = false,
+        metrics = tailMetrics ++ Map("dirty" -> "true",
+          "logicalNodes" -> logical.toString)) {
+        fullLog.toSeq.toDF("oldRoot", "newRoot").coalesce(1)
+      }
+      cfg.compactAppendFrac.foreach(compactTail(spark, runDir, runId, _))
+      return Some(0)
+    }
 
     // --- 4. assign patch: member rows of merged-away roots remap (and
     // leave their bucket — those buckets rewrite); delta entity rows
@@ -841,30 +972,174 @@ object Pipeline {
   def compactTail(spark: SparkSession, runDir: String, runId: String,
                   frac: Double): Seq[String] = {
     import org.apache.spark.sql.DataFrame
-    val shapes: Seq[(String, DataFrame => DataFrame)] = Seq(
-      "assign" -> ((d: DataFrame) => d.repartition(col("ident"), col("cb"))
-        .sortWithinPartitions(col("cb"))),
-      "nodes" -> ((d: DataFrame) => d.repartition(col("cb"))
-        .sortWithinPartitions(col("cb"), col("kind"))),
-      "edges" -> ((d: DataFrame) => d.repartition(col("cb"))
-        .sortWithinPartitions(col("cb"), col("pred"))))
-    shapes.flatMap { case (st, shape) =>
-      if (!Snapshots.isComplete(runDir, st)) None
+    val stages = Seq("assign", "nodes", "edges")
+    if (!stages.forall(Snapshots.isComplete(runDir, _))) return Nil
+    val dirty = canonLogDirty(runDir)
+    def over(st: String): Boolean = {
+      val m = Snapshots.readManifest(runDir, st)
+      val (appendRows, _) = Snapshots.appendStats(m)
+      m.rows > 0 && appendRows.toDouble / m.rows >= frac
+    }
+    // the dirty log is read-tax mass too: it broadcasts into every
+    // resolving read, so it counts toward the trigger
+    val logOver = dirty && {
+      val lm = Snapshots.readManifest(runDir, CanonLogStage)
+      val am = Snapshots.readManifest(runDir, "assign")
+      am.rows > 0 && lm.rows.toDouble / am.rows >= frac
+    }
+    // deferred mode folds ALL-OR-NOTHING: applying the log to one
+    // table while the others stay log-resolved would mix canonical
+    // spaces. (A crash between the folds and the log-clear below is
+    // harmless: re-resolving an already-folded table is a no-op —
+    // the log's keys no longer appear as canonicalIds.)
+    val toFold: Seq[String] =
+      if (dirty) { if (stages.exists(over) || logOver) stages else Nil }
+      else stages.filter(over)
+    if (toFold.isEmpty) return Nil
+
+    def resolveIf(st: String, d: DataFrame): DataFrame =
+      if (!dirty) d
       else {
-        val m = Snapshots.readManifest(runDir, st)
-        val (appendRows, sets) = Snapshots.appendStats(m)
-        if (m.rows > 0 && appendRows.toDouble / m.rows >= frac) {
-          // carry the layout stamp: the next ingest's patch
-          // precondition reads canonBuckets off the live manifest
-          val keep = m.metrics.view
-            .filterKeys(Set("canonBuckets", "epoch")).toMap
-          Snapshots.compact(spark, runDir, st, runId,
-            keep ++ Map("appendRowsFolded" -> appendRows.toString,
-              "appendSetsFolded" -> sets.toString))(shape)
-          Some(st)
-        } else None
+        val b = bucketsOf(runDir, st)
+        st match {
+          case "nodes" => resolveNodesFrame(spark, runDir, d, b)
+          case "assign" =>
+            val cols = d.columns
+            d.join(broadcast(canonLogDf(spark, runDir)),
+                Seq("canonicalId"), "left")
+              .withColumn("canonicalId",
+                coalesce(col("newRoot"), col("canonicalId")))
+              .withColumn("ident",
+                (col("canonicalId") === col("entityId")).cast("string"))
+              .withColumn("cb",
+                pmod(col("canonicalId"), lit(b)).cast("int"))
+              .select(cols.map(col): _*)
+          case _ => resolveCanon(spark, runDir, d, b)
+        }
+      }
+    val shapes: Map[String, DataFrame => DataFrame] = Map(
+      "assign" -> (d => resolveIf("assign", d)
+        .repartition(col("ident"), col("cb"))
+        .sortWithinPartitions(col("cb"))),
+      "nodes" -> (d => resolveIf("nodes", d).repartition(col("cb"))
+        .sortWithinPartitions(col("cb"), col("kind"))),
+      "edges" -> (d => resolveIf("edges", d).repartition(col("cb"))
+        .sortWithinPartitions(col("cb"), col("pred"))))
+    toFold.foreach { st =>
+      val m = Snapshots.readManifest(runDir, st)
+      val (appendRows, sets) = Snapshots.appendStats(m)
+      // carry the layout stamp: the next ingest's patch precondition
+      // reads canonBuckets off the live manifest
+      val keep = m.metrics.view
+        .filterKeys(Set("canonBuckets", "epoch")).toMap
+      Snapshots.compact(spark, runDir, st, runId,
+        keep ++ Map("appendRowsFolded" -> appendRows.toString,
+          "appendSetsFolded" -> sets.toString))(shapes(st))
+    }
+    if (dirty) {
+      import spark.implicits._
+      val logical = Snapshots.readManifest(runDir, CanonLogStage)
+        .metrics("logicalNodes")
+      Snapshots.stage(spark, runDir, CanonLogStage, runId,
+        resume = false,
+        metrics = Map("dirty" -> "false", "logicalNodes" -> logical)) {
+        Seq.empty[(Long, Long)].toDF("oldRoot", "newRoot")
       }
     }
+    toFold
+  }
+
+  // ---- deferred-merge canon log (merge-on-read; Config.deferMerges)
+  // A tiny compressed remap table: every canonical root a later merge
+  // absorbed → its current root, SINGLE-HOP (each ingest rewrites the
+  // whole log, which is bounded by merges-since-last-fold, so readers
+  // never chain). `dirty` marks unresolved state; folds and the
+  // global tail clear it.
+  private[graft] val CanonLogStage = "canon_log"
+
+  private[graft] def canonLogDirty(runDir: String): Boolean =
+    Snapshots.isComplete(runDir, CanonLogStage) &&
+      Snapshots.readManifest(runDir, CanonLogStage)
+        .metrics.get("dirty").contains("true")
+
+  /** Driver-resident log map (bounded by the fold trigger; callers
+    * guard size before entering the deferred path).
+    */
+  private def canonLogMap(spark: SparkSession,
+                          runDir: String): Map[Long, Long] = {
+    import spark.implicits._
+    if (!canonLogDirty(runDir)) Map.empty
+    else Snapshots.read(spark, runDir, CanonLogStage)
+      .select("oldRoot", "newRoot").as[(Long, Long)].collect().toMap
+  }
+
+  private def canonLogDf(spark: SparkSession, runDir: String) = {
+    import spark.implicits._
+    Snapshots.read(spark, runDir, CanonLogStage)
+      .select($"oldRoot".as("canonicalId"), $"newRoot")
+  }
+
+  /** Resolve a frame's canonicalId through the dirty log (broadcast
+    * join — the log is merges-since-fold small) and recompute cb.
+    */
+  private def resolveCanon(spark: SparkSession, runDir: String,
+                           df: DataFrame, b: Long): DataFrame = {
+    val cols = df.columns
+    df.join(broadcast(canonLogDf(spark, runDir)), Seq("canonicalId"),
+        "left")
+      .withColumn("canonicalId",
+        coalesce(col("newRoot"), col("canonicalId")))
+      .withColumn("cb", pmod(col("canonicalId"), lit(b)).cast("int"))
+      .select(cols.map(col): _*)
+  }
+
+  private def bucketsOf(runDir: String, stage: String): Long =
+    Snapshots.readManifest(runDir, stage).metrics("canonBuckets").toLong
+
+  /** CURRENT canonical nodes. With no dirty canon log this is the
+    * stored snapshot verbatim; under deferred merges it resolves
+    * stale canonicals through the log and re-aggregates rows sharing
+    * a resolved root (constituent rows + per-ingest delta
+    * contributions — the node schema was designed to combine
+    * associatively: argmin (norm, form) pair, min kind, summed
+    * memberCount). The merge-on-read read tax: one broadcast join +
+    * one groupBy of the nodes table, until the next fold makes the
+    * stored rows 1:1 again.
+    */
+  def readNodes(spark: SparkSession, runDir: String): DataFrame = {
+    val raw = Snapshots.read(spark, runDir, "nodes")
+    if (!canonLogDirty(runDir)) raw
+    else resolveNodesFrame(spark, runDir, raw, bucketsOf(runDir, "nodes"))
+  }
+
+  /** The nodes-resolving combine (deferred merges are always bucketed,
+    * so `b` is known): resolve roots through the log, then aggregate
+    * rows sharing a resolved root.
+    */
+  private def resolveNodesFrame(spark: SparkSession, runDir: String,
+                                raw: DataFrame, b: Long): DataFrame = {
+    import spark.implicits._
+    raw
+      .join(broadcast(canonLogDf(spark, runDir)), Seq("canonicalId"),
+        "left")
+      .withColumn("rc", coalesce($"newRoot", $"canonicalId"))
+      .groupBy($"rc")
+      .agg(min(struct($"canonicalNorm".as("norm"),
+        $"canonical".as("obj"))).as("m"),
+        min($"kind").as("kind"), sum($"memberCount").as("memberCount"))
+      .select($"rc".as("canonicalId"), $"m.obj".as("canonical"),
+        $"m.norm".as("canonicalNorm"), $"kind", $"memberCount")
+      .withColumn("cb", pmod($"canonicalId", lit(b)).cast("int"))
+  }
+
+  /** CURRENT canonical edges: stored snapshot, with stale
+    * canonicalIds resolved through the dirty log (broadcast join,
+    * no aggregation — edge rows are 1:1 triples).
+    */
+  def readEdges(spark: SparkSession, runDir: String): DataFrame = {
+    val raw = Snapshots.read(spark, runDir, "edges")
+    if (!canonLogDirty(runDir)) raw
+    else resolveCanon(spark, runDir, raw, bucketsOf(runDir, "edges"))
   }
 
   /** Append a DELTA snapshot version, idempotent per runId: a
@@ -1132,6 +1407,16 @@ object Pipeline {
       done2.collectFirst { case scala.util.Failure(e) => throw e }
     } finally pool.shutdown()
 
+    // the global tail recomputed everything from source, so any
+    // deferred-merge canon log is now fully applied — clear it, or
+    // readers would re-resolve (harmlessly but wrongly-taxed) and the
+    // next deferred ingest would compose stale remaps
+    if (canonLogDirty(runDir)) {
+      Snapshots.stage(spark, runDir, CanonLogStage, runId,
+        resume = false, metrics = Map("dirty" -> "false")) {
+        Seq.empty[(Long, Long)].toDF("oldRoot", "newRoot")
+      }
+    }
     ccIters
   }
 
@@ -1161,7 +1446,13 @@ object Pipeline {
       quarantined = quarantined,
       entities = lineageRows("entities"),
       linkEdges = lineageRows("link_edges"),
-      nodes = Snapshots.readManifest(runDir, "nodes").rows,
+      // under deferred merges the stored node ROWS over-count merged
+      // components; the canon log's manifest carries the exact
+      // logical count by driver arithmetic
+      nodes = if (canonLogDirty(runDir))
+        Snapshots.readManifest(runDir, CanonLogStage)
+          .metrics("logicalNodes").toLong
+      else Snapshots.readManifest(runDir, "nodes").rows,
       edges = Snapshots.readManifest(runDir, "edges").rows,
       ccIterations = ccIters
     )

@@ -152,7 +152,10 @@ object SparkEntry {
     * the oracle surface to the derived corpus).
     */
   private def asksNodes(s: SparkSession, runDir: String): DataFrame =
-    graft.store.Snapshots.read(s, runDir, "nodes")
+    // Pipeline.readNodes = the stored snapshot, resolved through the
+    // deferred-merge canon log when one is dirty (pass-through
+    // otherwise)
+    graft.Pipeline.readNodes(s, runDir)
       .filter(col("kind") === "asks")
       .select(col("canonical"), col("kind"),
         col("memberCount").as("member_count"))

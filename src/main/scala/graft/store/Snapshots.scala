@@ -630,8 +630,13 @@ object Snapshots {
       appendSchema = derivedSchema(adf, Nil)
         .orElse(appendFiles.headOption.map(f =>
           fileSchema(spark, s"$dir/$f"))).map(_.json),
+      // an APPEND-ONLY patch (empty rewrite) has no partitioned files
+      // of its own to infer from — inherit the base's partition
+      // schema, or a later compact() would fold the stage
+      // unpartitioned
       partSchema = inferPartSchema(partitionBy,
-        patchFiles.map(_.stripPrefix("patch/"))).map(_.json),
+        patchFiles.map(_.stripPrefix("patch/"))).map(_.json)
+        .orElse(base.partSchema),
       appendExcludes = Some(newExcludes).filter(_.nonEmpty),
       appendDirRows = Some(newDirRows).filter(_.nonEmpty))
     writeManifest(sd, versionedManifestName(version), m)

@@ -135,13 +135,16 @@ class PipelineSpec extends SparkSpec {
     deleteRec(Path.of(dir))
   }
 
+  // resolving readers: identical to raw Snapshots.read while no dirty
+  // canon log exists (every pre-deferral test), log-resolved under
+  // deferred merges
   private def edgeSet(runDir: String): Set[(String, String, Long)] =
-    Snapshots.read(spark, runDir, "edges")
+    Pipeline.readEdges(spark, runDir)
       .select("subj", "pred", "canonicalId")
       .as[(String, String, Long)].collect().toSet
 
   private def nodeSet(runDir: String): Set[(Long, String, String, Long)] =
-    Snapshots.read(spark, runDir, "nodes")
+    Pipeline.readNodes(spark, runDir)
       .select("canonicalId", "canonical", "kind", "memberCount")
       .as[(Long, String, String, Long)].collect().toSet
 
@@ -442,6 +445,94 @@ class PipelineSpec extends SparkSpec {
     assert(nodeSet(inc) == nodeSet(full))
     assert(edgeSet(inc) == edgeSet(full))
     assert(r2.nodes == rFull.nodes && r2.edges == rFull.edges)
+  }
+
+  test("deferred merges: append-only ingests + canon log equal CoW and from-scratch; fold applies the log") {
+    def f(name: String, forms: Seq[String]) = SourceFile("r", name, "c0",
+      "md", forms.map(w => s"q: $w?").mkString("\n"))
+    val classes = (0 until 60).map(i => s"dword$i")
+    val a = classes.zipWithIndex.map { case (w, i) => f(s"a$i.txt", Seq(w)) }
+    val b = classes.zipWithIndex.collect {
+      case (w, i) if i % 2 == 0 => f(s"b$i.txt", Seq(w.toUpperCase))
+    } :+ f("bnew.txt", Seq("dbrandnew1"))
+    // delta 2 merges across BOTH prior ingests: dot-variants of odd
+    // base classes AND re-mentions of delta-1's upper variants (their
+    // components merged an ingest ago — exercises log COMPOSITION)
+    val c = classes.zipWithIndex.collect {
+      case (w, i) if i % 2 == 1 => f(s"c$i.txt", Seq(w + ".") ++
+        (if (i % 5 == 0) Seq(classes(14).toUpperCase) else Nil))
+    } :+ f("cnew.txt", Seq("dbrandnew2"))
+    val cfgD = Pipeline.Config(canonBuckets = Some(64),
+      arrangePartitions = Some(4), deferMerges = true)
+
+    val inc = tmpDir("defer")
+    Pipeline.run(spark, a.toDS(), inc, "df-base", cfgD)
+    Pipeline.pinEpoch(spark, inc, "df-pin", cfgD)
+    val r1 = Pipeline.runIncrementalPinned(spark, b.toDS(), inc, "df-d1",
+      cfgD)
+    val r2 = Pipeline.runIncrementalPinned(spark, c.toDS(), inc, "df-d2",
+      cfgD)
+
+    // the ingests really DEFERRED: zero rewritten dirs, append-only
+    // patches, a dirty log with real merges
+    Seq("assign", "nodes", "edges").foreach { st =>
+      val m = Snapshots.readManifest(inc, st)
+      assert(m.metrics.get("defer").contains("true"), s"$st not deferred")
+      assert(m.metrics("rewrittenDirs") == "0", st)
+      assert(m.metrics.get("patched").contains("true"), st)
+    }
+    assert(Pipeline.canonLogDirty(inc))
+    val logRows = Snapshots.readManifest(inc, Pipeline.CanonLogStage).rows
+    assert(logRows > 10, s"expected real merges in the log, got $logRows")
+    assert(r1.nodes == 61 && r2.nodes == 62,
+      s"logical-node arithmetic drifted: ${r1.nodes}/${r2.nodes}")
+
+    // resolved graph equals the from-scratch run; stored node ROWS
+    // over-count merged components (that is what deferral defers),
+    // while Result.nodes carries the exact logical count
+    val full = tmpDir("defer-full")
+    val rFull = Pipeline.run(spark, (a ++ b ++ c).toDS(), full, "df-full",
+      cfgD)
+    assert(nodeSet(inc) == nodeSet(full))
+    assert(edgeSet(inc) == edgeSet(full))
+    assert(r2.nodes == rFull.nodes && r2.edges == rFull.edges)
+    assert(r1.nodes > 0 && r1.nodes <= r2.nodes)
+    val physicalRows = Snapshots.read(spark, inc, "nodes").count()
+    assert(physicalRows > r2.nodes,
+      s"deferral should leave constituent rows: $physicalRows vs ${r2.nodes}")
+
+    // FOLD: applies the log physically, clears it, preserves the graph
+    val folded = Pipeline.compactTail(spark, inc, "df-maint", 1e-9)
+    assert(folded.toSet == Set("assign", "nodes", "edges"))
+    assert(!Pipeline.canonLogDirty(inc))
+    assert(nodeSet(inc) == nodeSet(full))
+    assert(edgeSet(inc) == edgeSet(full))
+    assert(Snapshots.read(spark, inc, "nodes").count() == r2.nodes)
+    assert(Snapshots.readManifest(inc, "nodes").rows == r2.nodes)
+
+    // a further deferred ingest on the folded base still works
+    val d = Seq(f("dnew.txt", Seq(classes(3), "dbrandnew3")))
+    val r3 = Pipeline.runIncrementalPinned(spark, d.toDS(), inc, "df-d3",
+      cfgD)
+    val full2 = tmpDir("defer-full2")
+    Pipeline.run(spark, (a ++ b ++ c ++ d).toDS(), full2, "df-full2", cfgD)
+    assert(nodeSet(inc) == nodeSet(full2))
+    assert(r3.edges == Snapshots.readManifest(full2, "edges").rows)
+
+    // a COPY-ON-WRITE ingest refuses to run over a dirty log: it heals
+    // through the global tail, which clears the log
+    val inc2 = tmpDir("defer-cow")
+    Pipeline.run(spark, a.toDS(), inc2, "df-base", cfgD)
+    Pipeline.pinEpoch(spark, inc2, "df-pin", cfgD)
+    Pipeline.runIncrementalPinned(spark, b.toDS(), inc2, "df-d1", cfgD)
+    assert(Pipeline.canonLogDirty(inc2))
+    Pipeline.runIncrementalPinned(spark, c.toDS(), inc2, "df-d2",
+      cfgD.copy(deferMerges = false))
+    assert(!Pipeline.canonLogDirty(inc2),
+      "the global tail must clear the stale log")
+    assert(!Snapshots.readManifest(inc2, "nodes").metrics.contains("defer"))
+    assert(nodeSet(inc2) == nodeSet(full))
+    assert(edgeSet(inc2) == edgeSet(full))
   }
 
   test("census drift: measured per pinned ingest, refuses a stale epoch, re-pin recovers") {
