@@ -862,6 +862,44 @@ object SparkEntry {
           "not the global fallback")
       asksNodes(s, runDir)
     }),
+    // ---- MERGE-ON-READ lifecycle under the hash gate: the pinned
+    // delta ingests with Config.deferMerges (append-only patches +
+    // canon log, zero bucket rewrites), then the threshold fold
+    // applies the log physically — the final nodes must still hash-
+    // match the norm-class twin
+    "kg_nodes_deferred" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      import sp.implicits._
+      val runDir = freshScratch("kgdef")
+      val filesDf = asksCorpus(s, dir)
+      val cfg = graft.Pipeline.Config(resume = false,
+        arrangePartitions = Some(4), canonBuckets = Some(64),
+        deferMerges = true, compactAppendFrac = Some(1e-9))
+      withCheckpointDir(s, s"$runDir/_ck") {
+        graft.Pipeline.run(s,
+          filesDf.filter(col("doc_id") % 2 === 0).drop("doc_id")
+            .as[SourceFile], runDir, "def-base", cfg)
+        graft.Pipeline.pinEpoch(s, runDir, "def-pin", cfg)
+        graft.Pipeline.runIncrementalPinned(s,
+          filesDf.filter(col("doc_id") % 2 =!= 0).drop("doc_id")
+            .as[SourceFile], runDir, "def-delta", cfg)
+      }
+      // the ingest really deferred (an append-only patch version by
+      // this runId exists) AND the fold really applied+cleared the
+      // log — no silent fallback on either side of the lifecycle
+      val deferredPatched = graft.store.Snapshots.versions(runDir, "nodes")
+        .exists { v =>
+          val m = graft.store.Snapshots
+            .readManifestVersion(runDir, "nodes", v)
+          m.runId == "def-delta" && m.metrics.get("defer").contains("true")
+        }
+      require(deferredPatched &&
+        graft.store.Snapshots.readManifest(runDir, "nodes")
+          .metrics.get("compacted").contains("true") &&
+        !graft.Pipeline.canonLogDirty(runDir),
+        "kg_nodes_deferred must fold a deferred ingest, not fall back")
+      asksNodes(s, runDir)
+    }),
     // ---- custom Catalyst expression (codegen'd rolling fingerprint) ----
     "doc_rolling_fp" -> ((s, dir) => {
       implicit val sp: SparkSession = s
@@ -1575,6 +1613,7 @@ object SparkEntry {
     // (stream_kg_ingest).
     "kg_nodes_incremental" -> asksNormClassSql,
     "kg_nodes_pinned" -> asksNormClassSql,
+    "kg_nodes_deferred" -> asksNormClassSql,
     "kg_pipeline_nodes" -> asksNormClassSql,
     "stream_kg_ingest" -> asksNormClassSql,
     // brute-force twin of the banded SimHash pairs (banding is

@@ -180,6 +180,20 @@ object SteadyStateBench {
       Pipeline.readNodes(spark, d).selectExpr(cols: _*)
     def edges(d: String) =
       Pipeline.readEdges(spark, d).selectExpr(ecols: _*)
+    // the merge-on-read READ TAX, priced: resolving read (broadcast
+    // log join; nodes also re-aggregate) vs the raw stored snapshot
+    Seq("TIER" -> runT, "DEFER" -> runD).foreach { case (tag, d) =>
+      def t(body: => Long): (Long, Double) = {
+        val t0 = System.nanoTime(); val r = body
+        (r, (System.nanoTime() - t0) / 1e9)
+      }
+      val (rn, sn) = t(nodes(d).count())
+      val (re, se) = t(edges(d).count())
+      val (rr, sr) = t(Snapshots.read(spark, d, "nodes").count())
+      println(f"[steady] readtax $tag dirty=${Pipeline.canonLogDirty(d)} " +
+        f"nodesResolved=$rn in $sn%.2fs edgesResolved=$re in $se%.2fs " +
+        f"nodesRaw=$rr in $sr%.2fs")
+    }
     Seq("LEGACY" -> runL, "FOLD" -> runC, "DEFER" -> runD)
       .foreach { case (tag, d) =>
       val dn = nodes(runT).exceptAll(nodes(d)).count() +
