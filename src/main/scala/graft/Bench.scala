@@ -169,6 +169,11 @@ object Bench {
     // after the metric line: stop everything first, print last
     spark.streams.active.foreach(_.stop())
     spark.stop()
+    // scratch hygiene: the bench corpus + pipeline runs are ~1.3 GB
+    // per invocation; leaking them across reps/rounds filled the host
+    // disk once (query scratch cleans itself via SparkEntry's
+    // shutdown hook)
+    graft.store.Snapshots.deleteDir(baseDir)
     println(line)
     System.out.flush()
   }

@@ -80,6 +80,18 @@ object SparkEntry {
     * returned DataFrames read the dir lazily, so cleanup happens at
     * the NEXT invocation, after the previous result was consumed.
     */
+  // every scratch dir this JVM creates is deleted at exit — the PID
+  // suffix that fixed cross-JVM collisions also meant NOTHING else
+  // could reclaim the space, and leaked ~GB-scale dirs per bench run
+  // filled the host disk once
+  private lazy val scratchAtExit = {
+    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      q.forEach(p => graft.store.Snapshots.deleteDir(p))
+    }))
+    q
+  }
+
   private def freshScratch(tag: String): String = {
     // PID-suffixed: two JVMs running these queries concurrently must
     // not clear each other's scratch (the dirs are fixed per query so
@@ -88,6 +100,7 @@ object SparkEntry {
       sys.props("java.io.tmpdir"), s"graft-q-${ProcessHandle.current.pid}-$tag")
     graft.store.Snapshots.deleteDir(p.toString)
     java.nio.file.Files.createDirectories(p)
+    scratchAtExit.add(p.toString)
     p.toString
   }
 
@@ -101,6 +114,7 @@ object SparkEntry {
     val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
       s"graft-session-ck-${ProcessHandle.current.pid}")
     java.nio.file.Files.createDirectories(p)
+    scratchAtExit.add(p.toString)
     p.toString
   }
 

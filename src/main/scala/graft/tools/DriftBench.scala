@@ -72,5 +72,6 @@ object DriftBench {
         f"driftSec=${metrics("driftSec")}")
     }
     spark.stop()
+    graft.store.Snapshots.deleteDir(root)
   }
 }

@@ -96,6 +96,7 @@ object IncrementalBench {
       s"(pinned census vs fresh census — equality is only promised " +
       s"census-for-census, PipelineSpec)")
     spark.stop()
+    graft.store.Snapshots.deleteDir(base)
   }
 
   private def copyDir(from: String, to: String): Unit = {

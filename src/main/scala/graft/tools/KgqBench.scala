@@ -61,7 +61,7 @@ object KgqBench {
             $"repo", $"path")).toDF()
           .write.mode("overwrite").partitionBy("pred").parquet(s"$runDir/m4"))
       Profile.time("footers")(graft.store.Snapshots.footerCounts(s"$runDir/m3"))
-      spark.stop(); return
+      spark.stop(); graft.store.Snapshots.deleteDir(runDir); return
     }
     if (sys.env.contains("KGQ_PHASES")) {
       import graft.link.Linking
@@ -111,5 +111,6 @@ object KgqBench {
     val sec = (System.nanoTime() - t0) / 1e9
     println(f"[kgq] n=$n cpus=$cpus rows=$rows total=${sec}%.2fs")
     spark.stop()
+    graft.store.Snapshots.deleteDir(runDir)
   }
 }

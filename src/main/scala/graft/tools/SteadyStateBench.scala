@@ -204,7 +204,14 @@ object SteadyStateBench {
         "(must be 0/0)")
       require(dn == 0 && de == 0, s"$tag diverged from tiered")
     }
-    println(s"[steady] done root=$root (left in place for inspection)")
+    // ~6.5 GB of run dirs at the bench shape — keep only on request
+    if (sys.env.contains("SPARK_GRAFT_KEEP")) {
+      println(s"[steady] done root=$root (kept: SPARK_GRAFT_KEEP)")
+    } else {
+      println(s"[steady] done (root deleted; set SPARK_GRAFT_KEEP=1 " +
+        "to keep run dirs for inspection)")
+      Snapshots.deleteDir(root)
+    }
     spark.stop()
   }
 

@@ -140,4 +140,5 @@ object GraftProps extends Properties("graft") {
       val words = if (t.isEmpty) 0 else t.split("\\s+").length
       graft.extract.Extraction.estimateTokens(s) == (words * 1.3).toInt
     }
+
 }

@@ -337,6 +337,49 @@ class SnapshotPlanSpec extends SparkSpec {
     deleteRec(Path.of(dir))
   }
 
+  test("tiered == legacy over SEEDED RANDOM patch sequences (content + exact rows)") {
+    // randomized twin of the hand-built chains above: random rewritten
+    // buckets and random appends per patch, fixed seed for driver
+    // determinism. Multiset equality via sorted sequences (a Set would
+    // mask dropped duplicates).
+    val rnd = new scala.util.Random(20260818L)
+    (1 to 5).foreach { trial =>
+      val steps = (1 to (2 + rnd.nextInt(3))).map { _ =>
+        val rew = Seq.fill(1 + rnd.nextInt(2))(rnd.nextInt(4)).distinct
+        val app = Seq.fill(rnd.nextInt(6))(
+          (1000L + rnd.nextInt(9000), rnd.nextInt(4)))
+          .filterNot { case (_, b) => rew.contains(b) }
+        (rew, app)
+      }
+      def run(tiering: Boolean): (Seq[(Long, Int)], Long) = {
+        val dir = tmpDir(s"rand$trial$tiering")
+        try withTiering(on = tiering) {
+          Snapshots.stage(spark, dir, "t", "p0", resume = false,
+            partitionBy = Seq("b")) {
+            Seq((1L, 0), (2L, 1), (3L, 2), (4L, 3)).toDF("x", "b")
+          }
+          steps.zipWithIndex.foreach { case ((rew, app), i) =>
+            Snapshots.stagePatch(spark, dir, "t", s"p${i + 1}",
+              rew.map(b => s"b=$b"), Seq("b")) {
+              rew.map(b => (100L + b, b)).toDF("x", "b")
+            } {
+              if (app.isEmpty) spark.emptyDataset[(Long, Int)].toDF("x", "b")
+              else app.toDF("x", "b")
+            }
+          }
+          (Snapshots.read(spark, dir, "t").select("x", "b")
+            .as[(Long, Int)].collect().toSeq.sorted,
+            Snapshots.readManifest(dir, "t").rows)
+        } finally deleteRec(Path.of(dir))
+      }
+      val (tiered, tRows) = run(tiering = true)
+      val (legacy, lRows) = run(tiering = false)
+      assert(tiered == legacy, s"trial $trial diverged ($steps)")
+      assert(tRows == lRows && tRows == tiered.size.toLong,
+        s"trial $trial rows: $tRows vs $lRows vs ${tiered.size}")
+    }
+  }
+
   test("compact folds buckets, patches and tombstoned appends into a full snapshot; old versions expire") {
     val dir = tmpDir("compact")
     withTiering(on = true) {
