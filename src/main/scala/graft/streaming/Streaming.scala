@@ -130,9 +130,23 @@ object Streaming {
     // that never linked its triples. runIncremental is idempotent on
     // the extract side (it skips a delta version this runId already
     // published), so the replay redoes only the downstream stages.
+    // Under deferred merges the ingest's COMMIT RECORD is the canon
+    // log, published after the three appends: an edges manifest with
+    // this runId and the defer marker but no matching log version is
+    // a crash window, and the replay must re-apply (it heals through
+    // the global tail — incrementalCanonicalize sees the partial
+    // application). Without this, a skipped replay would make the
+    // partial state permanent.
+    def deferredPartial = cfg.deferMerges &&
+      Snapshots.readManifest(runDir, "edges")
+        .metrics.get("defer").contains("true") &&
+      !(Snapshots.isComplete(runDir, graft.Pipeline.CanonLogStage) &&
+        Snapshots.readManifest(runDir, graft.Pipeline.CanonLogStage)
+          .runId == runId)
     val applied = prior &&
       Snapshots.isComplete(runDir, "edges") &&
-      Snapshots.readManifest(runDir, "edges").runId == runId
+      Snapshots.readManifest(runDir, "edges").runId == runId &&
+      !deferredPartial
     if (applied) false
     else {
       val spark = batch.sparkSession

@@ -257,4 +257,62 @@ class StreamingSpec extends SparkSpec {
       assert(Snapshots.isComplete(runDir, st), s"$st not re-pinned"))
     assert(Snapshots.versions(runDir, "extract") == Seq(1, 2))
   }
+
+  test("streaming KG ingest with DEFERRED merges: append-only batches; log is the replay commit record") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.store.Snapshots
+    val all = graft.fixtures.FilesGen.local(300)
+    val (a, b) = all.splitAt(200)
+    val runDir = java.nio.file.Files
+      .createTempDirectory("graft-stream-def").toString
+    val cfg = Pipeline.Config(canonBuckets = Some(64),
+      deferMerges = true,
+      link = graft.link.Linking.Config(exactSmallThreshold = 0L))
+
+    val input = MemoryStream[graft.SourceFile](spark)
+    val q = Streaming.kgIngestStream(input.toDS(), runDir, cfg,
+      epochPinned = true)
+    try {
+      input.addData(a: _*)
+      q.processAllAvailable()
+      input.addData(b: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // batch 2 went through the merge-on-read tail: append-only patch,
+    // dirty log carrying its merges
+    val em = Snapshots.readManifest(runDir, "edges")
+    assert(em.metrics.get("defer").contains("true") &&
+      em.metrics("rewrittenDirs") == "0", em.metrics.toString)
+    assert(Pipeline.canonLogDirty(runDir))
+
+    // resolved graph equals a from-scratch run under the same census
+    val hot = Snapshots.read(spark, runDir, "ep_census")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val full = java.nio.file.Files
+      .createTempDirectory("graft-stream-def-full").toString
+    Pipeline.run(spark, all.toDS(), full, "full",
+      Pipeline.Config(canonBuckets = Some(64), link =
+        graft.link.Linking.Config(exactSmallThreshold = 0L,
+          pinnedHot = Some(hot))))
+    def nodes(d: String) = Pipeline.readNodes(spark, d)
+      .select($"canonicalId", $"canonical", $"kind", $"memberCount")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(nodes(runDir) == nodes(full))
+
+    // CRASH WINDOW: appends published, canon log (the commit record)
+    // lost. The replayed batch must NOT be treated as applied — it
+    // re-applies and heals through the global tail
+    java.nio.file.Files.delete(java.nio.file.Path.of(
+      Snapshots.stageDir(runDir, Pipeline.CanonLogStage),
+      "_MANIFEST.json"))
+    assert(!Pipeline.canonLogDirty(runDir))
+    val reapplied = Streaming.ingestBatch(b.toDS(), batchId = 1L, runDir,
+      cfg, epochPinned = true)
+    assert(reapplied, "a deferred batch missing its log must re-apply")
+    assert(nodes(runDir) == nodes(full))
+    // and a replay AFTER full application is a no-op again
+    assert(!Streaming.ingestBatch(b.toDS(), batchId = 1L, runDir,
+      cfg, epochPinned = true))
+  }
 }
