@@ -720,6 +720,11 @@ object Pipeline {
       roots.map(bucketOf).distinct.toSeq.map(v => s"cb=$v")
     def buckets(roots: Array[Long]): Seq[Int] =
       roots.map(bucketOf).distinct.toSeq
+    // delta appends sized by rows (~4M narrow rows per file):
+    // repartition(1) would funnel a large delta into one giant
+    // single-task file at real ingest sizes
+    val appendParts = math.min(64L,
+      math.max(1L, deltaExtractRows / 4000000L)).toInt
     def tailMetrics = Map(
       "canonBuckets" -> b.toString,
       "ccIterations" -> "0",
@@ -744,14 +749,14 @@ object Pipeline {
         .withColumn("ident",
           ($"canonicalId" === $"entityId").cast("string"))
         .withColumn("cb", cbOf($"canonicalId"))
-        .repartition(1).sortWithinPartitions($"cb")
+        .repartition(appendParts).sortWithinPartitions($"cb")
       val nodesApp = deltaAssignD.groupBy($"canonicalId")
         .agg(min(struct($"norm", $"obj")).as("m"),
           min($"pred").as("kind"), count(lit(1)).as("memberCount"))
         .select($"canonicalId", $"m.obj".as("canonical"),
           $"m.norm".as("canonicalNorm"), $"kind", $"memberCount")
         .withColumn("cb", cbOf($"canonicalId"))
-        .repartition(1).sortWithinPartitions($"cb", $"kind")
+        .repartition(appendParts).sortWithinPartitions($"cb", $"kind")
       val edgesApp = deltaTriples
         .withColumn("subj", concat($"repo", lit("/"), $"path"))
         .withColumn("entityId", Linking.idCol($"pred", $"obj"))
@@ -760,7 +765,7 @@ object Pipeline {
           coalesce($"fc", $"entityId").as("canonicalId"),
           $"conf", $"repo", $"path", $"commit")
         .withColumn("cb", cbOf($"canonicalId"))
-        .repartition(1).sortWithinPartitions($"cb", $"pred")
+        .repartition(appendParts).sortWithinPartitions($"cb", $"pred")
 
       // captured BEFORE the appends publish: the live nodes manifest
       // is about to gain this delta's constituent rows
@@ -856,7 +861,7 @@ object Pipeline {
         assignContent.filter(inRew(aBuckets)).repartition($"ident", $"cb")
       } {
         assignContent.filter(!inRew(aBuckets))
-          .repartition(1).sortWithinPartitions($"cb")
+          .repartition(appendParts).sortWithinPartitions($"cb")
       }
 
     // --- 5. nodes patch: every old root in a real merge loses or
@@ -897,7 +902,7 @@ object Pipeline {
           .repartition($"cb").sortWithinPartitions($"cb", $"kind")
       } {
         nodesContent.filter(!inRew(nBuckets))
-          .repartition(1).sortWithinPartitions($"cb", $"kind")
+          .repartition(appendParts).sortWithinPartitions($"cb", $"kind")
       }
 
     // --- 6. edges patch: stored edge rows change ONLY when their
@@ -930,7 +935,7 @@ object Pipeline {
           .repartition($"cb").sortWithinPartitions($"cb", $"pred")
       } {
         edgesContent.filter(!inRew(aBuckets))
-          .repartition(1).sortWithinPartitions($"cb", $"pred")
+          .repartition(appendParts).sortWithinPartitions($"cb", $"pred")
       }
 
     // --- 7. publish the three patches CONCURRENTLY: each touches
