@@ -100,7 +100,14 @@ object Pipeline {
       // physically past compactAppendFrac. The LSM/Iceberg
       // merge-on-read trade: O(delta) writes, a bounded read tax
       // until the next fold.
-      deferMerges: Boolean = false
+      deferMerges: Boolean = false,
+      // Consolidate a lineage stage (entities / link_edges /
+      // ep_shingles / ep_keys) into a fresh full version whenever its
+      // delta count exceeds this, at the START of the next pinned
+      // ingest (see compactLineage): bounds the K-way union reads and
+      // K-manifest sums that otherwise grow with ingest count. Cost
+      // O(stage) amortized over maxDeltas ingests. None = never.
+      maxLineageDeltas: Option[Int] = None
   )
 
   final case class Result(
@@ -399,6 +406,10 @@ object Pipeline {
     Seq("ep_census", "ep_shingles", "ep_keys").foreach(st =>
       require(Snapshots.isComplete(runDir, st),
         s"no pinned epoch in $runDir — run Pipeline.pinEpoch first"))
+
+    // lineage maintenance BEFORE this ingest appends anything: only
+    // completed foreign runs consolidate (see compactLineage)
+    cfg.maxLineageDeltas.foreach(compactLineage(spark, runDir, runId, _))
 
     // 1. delta-only extract (idempotent per runId)
     graft.store.IOStat.timed("pin.extract")(
@@ -1052,6 +1063,55 @@ object Pipeline {
       }
     }
     toFold
+  }
+
+  /** LINEAGE maintenance: the pinned-ingest path unions a stage's
+    * last full version plus every delta appended since — after K
+    * ingests that is a K-way union read (and a K-manifest sum) per
+    * ingest, a plan/driver term that grows with INGEST COUNT.
+    * Consolidating the union into a fresh FULL version resets the
+    * lineage to length 1 (lineageVersions anchors at the last full),
+    * and the folded-in versions expire.
+    *
+    * Crash-retry safety: a stage is SKIPPED while its lineage holds a
+    * version with the in-flight base `runId` — folding an incomplete
+    * ingest's slice would break both oldUnion's excludeRunId and
+    * appendOnce's idempotence key. The consolidation publishes under
+    * "<runId>-maint" (never an ingest runId, so excludeRunId can
+    * never drop it), and a retry first expires anything a crashed
+    * consolidation left superseded.
+    */
+  def compactLineage(spark: SparkSession, runDir: String, runId: String,
+                     maxDeltas: Int): Seq[String] = {
+    // extract is deliberately NOT here: its versions are disjoint
+    // corpus slices under union-of-ALL-versions semantics (no delta
+    // marker), so lineageVersions would anchor at the newest slice
+    // and the cleanup pass would expire the rest of the corpus
+    val stages = Seq("entities", "link_edges", "ep_shingles", "ep_keys")
+    stages.filter(Snapshots.isComplete(runDir, _)).flatMap { st =>
+      // cleanup pass (also the crash-retry of this function): expire
+      // versions a previous consolidation superseded
+      val lv = lineageVersions(runDir, st)
+      Snapshots.versions(runDir, st).filterNot(lv.contains)
+        .reverse.foreach(v => Snapshots.expire(runDir, st, v))
+      val inFlight = lv.exists(v =>
+        Snapshots.readManifestVersion(runDir, st, v).runId == runId)
+      if (inFlight || lv.length - 1 < maxDeltas) None
+      else {
+        // layout from the lineage's ANCHOR full version (deltas
+        // publish unpartitioned; the consolidated full should keep
+        // the base's partitioning)
+        val partCols = Snapshots.partitionColsOf(
+          Snapshots.readManifestVersion(runDir, st, lv.head))
+        val df = lineageUnion(spark, runDir, st)
+        Snapshots.stage(spark, runDir, st, s"$runId-maint",
+          resume = false, partitionBy = partCols,
+          metrics = Map("compacted" -> "true",
+            "lineageFolded" -> lv.length.toString))(df)
+        lv.reverse.foreach(v => Snapshots.expire(runDir, st, v))
+        Some(st)
+      }
+    }
   }
 
   // ---- deferred-merge canon log (merge-on-read; Config.deferMerges)

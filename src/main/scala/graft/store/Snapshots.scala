@@ -687,6 +687,12 @@ object Snapshots {
       }
     }
 
+  /** Partition columns a snapshot was published with (empty when
+    * unpartitioned or unrecorded).
+    */
+  def partitionColsOf(m: Manifest): Seq[String] =
+    m.partSchema.map(j => parseStruct(j).fieldNames.toSeq).getOrElse(Nil)
+
   /** Net append rows and live append-set count of a snapshot (the
     * compaction trigger's inputs). Sets without tombstone accounting
     * count raw — an upper bound, which is the safe direction for a

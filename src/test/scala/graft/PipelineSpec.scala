@@ -447,6 +447,62 @@ class PipelineSpec extends SparkSpec {
     assert(r2.nodes == rFull.nodes && r2.edges == rFull.edges)
   }
 
+  test("lineage consolidation bounds the per-ingest union width; chain stays exact") {
+    def f(name: String, forms: Seq[String]) = SourceFile("r", name, "c0",
+      "md", forms.map(w => s"q: $w?").mkString("\n"))
+    val classes = (0 until 30).map(i => s"lword$i")
+    val a = classes.zipWithIndex.map { case (w, i) => f(s"a$i.txt", Seq(w)) }
+    val deltas = (0 until 3).map { d =>
+      classes.zipWithIndex.collect {
+        case (w, i) if i % 3 == d => f(s"d$d-$i.txt",
+          Seq(if (d == 0) w.toUpperCase else w + ("." * d)))
+      } :+ f(s"dnew$d.txt", Seq(s"lbrand$d"))
+    }
+    def chain(maxDeltas: Option[Int]): (String, Pipeline.Result) = {
+      val cfg = Pipeline.Config(canonBuckets = Some(64),
+        arrangePartitions = Some(4), maxLineageDeltas = maxDeltas)
+      val dir = tmpDir(s"lin${maxDeltas.isDefined}")
+      Pipeline.run(spark, a.toDS(), dir, "lc-base", cfg)
+      Pipeline.pinEpoch(spark, dir, "lc-pin", cfg)
+      var r: Pipeline.Result = null
+      deltas.zipWithIndex.foreach { case (delta, i) =>
+        r = Pipeline.runIncrementalPinned(spark, delta.toDS(), dir,
+          s"lc-d$i", cfg)
+      }
+      (dir, r)
+    }
+    val (inc, r) = chain(Some(1))
+    val (incN, rN) = chain(None)
+
+    // the maintained chain's lineage stayed short: consolidation at
+    // each ingest start folds completed deltas, so at most
+    // [consolidated full, the latest ingest's delta] remain — while
+    // the unmaintained chain accumulated base + 3 deltas
+    Seq("entities", "link_edges", "ep_keys", "ep_shingles").foreach { st =>
+      val vs = Snapshots.versions(inc, st)
+      assert(vs.length <= 2, s"$st lineage not consolidated: $vs")
+      assert(Snapshots.versions(incN, st).length == 4, st)
+      val live = Snapshots.readManifestVersion(inc, st, vs.head)
+      if (vs.length == 2)
+        assert(live.metrics.get("compacted").contains("true"), st)
+    }
+    // identical graphs and result counts on both chains
+    assert(nodeSet(inc) == nodeSet(incN))
+    assert(edgeSet(inc) == edgeSet(incN))
+    assert(r.copy(runId = "x") == rN.copy(runId = "x"))
+
+    // retry of the last ingest is still a no-op (idempotence survives
+    // consolidation of PRIOR runs; the in-flight guard protects its
+    // own slices)
+    val vBefore = Snapshots.versions(inc, "edges")
+    val rRetry = Pipeline.runIncrementalPinned(spark,
+      deltas(2).toDS(), inc, "lc-d2",
+      Pipeline.Config(canonBuckets = Some(64),
+        arrangePartitions = Some(4), maxLineageDeltas = Some(1)))
+    assert(Snapshots.versions(inc, "edges") == vBefore)
+    assert(rRetry.copy(runId = "x") == r.copy(runId = "x"))
+  }
+
   test("deferred merges: append-only ingests + canon log equal CoW and from-scratch; fold applies the log") {
     def f(name: String, forms: Seq[String]) = SourceFile("r", name, "c0",
       "md", forms.map(w => s"q: $w?").mkString("\n"))
