@@ -158,10 +158,12 @@ object SteadyStateBench {
       report("FOLD", i, runC, wC)
       if (freed > 0) println(s"[steady] i=$i FOLD expired $freed versions")
       // merge-on-read: zero bucket rewrites per ingest; merges ride
-      // the canon log until the threshold fold
+      // the canon log until the threshold fold. Lineage maintenance
+      // on: entities/link_edges/ep_* consolidate past 4 deltas
       val wD = timed(Pipeline.runIncrementalPinned(
         spark, rd(delta), runD, s"d$i",
-        cfg(Some(foldFrac)).copy(deferMerges = true)))
+        cfg(Some(foldFrac)).copy(deferMerges = true,
+          maxLineageDeltas = Some(4))))
       val freedD = Tail.map { st =>
         val live = Snapshots.readManifest(runD, st).version.get
         Snapshots.versions(runD, st).filter(_ != live).reverse.count { v =>
