@@ -172,8 +172,9 @@ object Bench {
     // scratch hygiene: the bench corpus + pipeline runs are ~1.3 GB
     // per invocation; leaking them across reps/rounds filled the host
     // disk once (query scratch cleans itself via SparkEntry's
-    // shutdown hook)
-    graft.store.Snapshots.deleteDir(baseDir)
+    // shutdown hook). Try: a cleanup IOException must never destroy
+    // the metric line, which is this program's output contract
+    scala.util.Try(graft.store.Snapshots.deleteDir(baseDir))
     println(line)
     System.out.flush()
   }

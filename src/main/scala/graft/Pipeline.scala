@@ -744,6 +744,22 @@ object Pipeline {
       "ufSec" -> f"${tUf / 1e9}%.2f",
       "delta" -> "patch")
 
+    // delta frames SHARED by both tails (one source of truth for the
+    // canonical-assignment semantics — the deferred and CoW graphs
+    // must never diverge): every delta entity row with its final
+    // canonical, and every delta triple resolved to its final edge
+    val deltaAssign = newEnts
+      .join(broadcast(deltaCompDf), Seq("entityId"), "left")
+      .select($"pred", $"obj", $"norm", $"entityId",
+        coalesce($"comp", $"entityId").as("canonicalId"))
+    val deltaE = deltaTriples
+      .withColumn("subj", concat($"repo", lit("/"), $"path"))
+      .withColumn("entityId", Linking.idCol($"pred", $"obj"))
+      .join(broadcast(finalCanonDf), Seq("entityId"), "left")
+      .select($"subj", $"pred",
+        coalesce($"fc", $"entityId").as("canonicalId"),
+        $"conf", $"repo", $"path", $"commit")
+
     // --- DEFERRED TAIL (Config.deferMerges): merge-on-read. No
     // bucket rewrite at all — the three tables take O(delta)
     // append-only patches and this ingest's merges are RECORDED in
@@ -752,29 +768,19 @@ object Pipeline {
     // past the threshold. The log publishes LAST as the ingest's
     // commit record (see the done-check above).
     if (deferred) {
-      val deltaAssignD = newEnts
-        .join(broadcast(deltaCompDf), Seq("entityId"), "left")
-        .select($"pred", $"obj", $"norm", $"entityId",
-          coalesce($"comp", $"entityId").as("canonicalId"))
-      val assignApp = deltaAssignD
+      val assignApp = deltaAssign
         .withColumn("ident",
           ($"canonicalId" === $"entityId").cast("string"))
         .withColumn("cb", cbOf($"canonicalId"))
         .repartition(appendParts).sortWithinPartitions($"cb")
-      val nodesApp = deltaAssignD.groupBy($"canonicalId")
+      val nodesApp = deltaAssign.groupBy($"canonicalId")
         .agg(min(struct($"norm", $"obj")).as("m"),
           min($"pred").as("kind"), count(lit(1)).as("memberCount"))
         .select($"canonicalId", $"m.obj".as("canonical"),
           $"m.norm".as("canonicalNorm"), $"kind", $"memberCount")
         .withColumn("cb", cbOf($"canonicalId"))
         .repartition(appendParts).sortWithinPartitions($"cb", $"kind")
-      val edgesApp = deltaTriples
-        .withColumn("subj", concat($"repo", lit("/"), $"path"))
-        .withColumn("entityId", Linking.idCol($"pred", $"obj"))
-        .join(broadcast(finalCanonDf), Seq("entityId"), "left")
-        .select($"subj", $"pred",
-          coalesce($"fc", $"entityId").as("canonicalId"),
-          $"conf", $"repo", $"path", $"commit")
+      val edgesApp = deltaE
         .withColumn("cb", cbOf($"canonicalId"))
         .repartition(appendParts).sortWithinPartitions($"cb", $"pred")
 
@@ -839,10 +845,6 @@ object Pipeline {
     // leave their bucket — those buckets rewrite); delta entity rows
     // append wherever their canonical lands
     val aBuckets = buckets(mergedOldRoots)
-    val deltaAssign = newEnts
-      .join(broadcast(deltaCompDf), Seq("entityId"), "left")
-      .select($"pred", $"obj", $"norm", $"entityId",
-        coalesce($"comp", $"entityId").as("canonicalId"))
     // patch writes: rewritten buckets repartition on the dir columns
     // (files ≈ rewritten dirs, not tasks × dirs); everything landing
     // OUTSIDE a rewritten bucket — delta entities hash anywhere —
@@ -930,13 +932,6 @@ object Pipeline {
         .select($"subj", $"pred",
           coalesce($"newCanon", $"canonicalId").as("canonicalId"),
           $"conf", $"repo", $"path", $"commit")
-      val deltaE = deltaTriples
-        .withColumn("subj", concat($"repo", lit("/"), $"path"))
-        .withColumn("entityId", Linking.idCol($"pred", $"obj"))
-        .join(broadcast(finalCanonDf), Seq("entityId"), "left")
-        .select($"subj", $"pred",
-          coalesce($"fc", $"entityId").as("canonicalId"),
-          $"conf", $"repo", $"path", $"commit")
       remapped.unionByName(deltaE).withColumn("cb", cbOf($"canonicalId"))
     }
     def patchEdges(): Unit =
@@ -1020,16 +1015,9 @@ object Pipeline {
         st match {
           case "nodes" => resolveNodesFrame(spark, runDir, d, b)
           case "assign" =>
-            val cols = d.columns
-            d.join(broadcast(canonLogDf(spark, runDir)),
-                Seq("canonicalId"), "left")
-              .withColumn("canonicalId",
-                coalesce(col("newRoot"), col("canonicalId")))
-              .withColumn("ident",
-                (col("canonicalId") === col("entityId")).cast("string"))
-              .withColumn("cb",
-                pmod(col("canonicalId"), lit(b)).cast("int"))
-              .select(cols.map(col): _*)
+            // a remapped row's canonical is no longer itself
+            resolveCanon(spark, runDir, d, b).withColumn("ident",
+              (col("canonicalId") === col("entityId")).cast("string"))
           case _ => resolveCanon(spark, runDir, d, b)
         }
       }
@@ -1073,13 +1061,23 @@ object Pipeline {
     * lineage to length 1 (lineageVersions anchors at the last full),
     * and the folded-in versions expire.
     *
-    * Crash-retry safety: a stage is SKIPPED while its lineage holds a
-    * version with the in-flight base `runId` — folding an incomplete
-    * ingest's slice would break both oldUnion's excludeRunId and
-    * appendOnce's idempotence key. The consolidation publishes under
-    * "<runId>-maint" (never an ingest runId, so excludeRunId can
-    * never drop it), and a retry first expires anything a crashed
-    * consolidation left superseded.
+    * Crash-retry safety: a lineage delta is foldable ONLY when its
+    * ingest COMMITTED — its runId has a tail record (an edges version
+    * or a canon-log version). Folding an uncommitted slice — the
+    * in-flight ingest's, or a FOREIGN ingest that crashed mid-append
+    * and will retry — would break both oldUnion's excludeRunId and
+    * appendOnce's idempotence key for that retry (its forms would
+    * ride the consolidated full and re-derive as "already existing",
+    * silently dropping its link edges). A stage holding any
+    * uncommitted delta is skipped this round; it folds once the
+    * crashed ingest retries (or stays unfolded, which is correct —
+    * the state genuinely contains an incomplete ingest). Corollary:
+    * expire edges/canon-log HISTORY only after lineage consolidation
+    * has covered those runs, or their commit records become
+    * unprovable and their deltas stay unfoldable. The consolidation
+    * itself publishes under "<runId>-maint" (never an ingest runId,
+    * so excludeRunId can never drop it), and a retry first expires
+    * anything a crashed consolidation left superseded.
     */
   def compactLineage(spark: SparkSession, runDir: String, runId: String,
                      maxDeltas: Int): Seq[String] = {
@@ -1088,15 +1086,24 @@ object Pipeline {
     // marker), so lineageVersions would anchor at the newest slice
     // and the cleanup pass would expire the rest of the corpus
     val stages = Seq("entities", "link_edges", "ep_shingles", "ep_keys")
+    val committed: Set[String] =
+      (Snapshots.versions(runDir, "edges").map(v =>
+        Snapshots.readManifestVersion(runDir, "edges", v).runId) ++
+        (if (Snapshots.isComplete(runDir, CanonLogStage))
+          Snapshots.versions(runDir, CanonLogStage).map(v =>
+            Snapshots.readManifestVersion(runDir, CanonLogStage, v).runId)
+        else Nil)).toSet
     stages.filter(Snapshots.isComplete(runDir, _)).flatMap { st =>
       // cleanup pass (also the crash-retry of this function): expire
       // versions a previous consolidation superseded
       val lv = lineageVersions(runDir, st)
       Snapshots.versions(runDir, st).filterNot(lv.contains)
         .reverse.foreach(v => Snapshots.expire(runDir, st, v))
-      val inFlight = lv.exists(v =>
-        Snapshots.readManifestVersion(runDir, st, v).runId == runId)
-      if (inFlight || lv.length - 1 < maxDeltas) None
+      val uncommitted = lv.tail.exists { v =>
+        val r = Snapshots.readManifestVersion(runDir, st, v).runId
+        r == runId || !committed.contains(r)
+      }
+      if (uncommitted || lv.length - 1 < maxDeltas) None
       else {
         // layout from the lineage's ANCHOR full version (deltas
         // publish unpartitioned; the consolidated full should keep

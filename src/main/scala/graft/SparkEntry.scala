@@ -85,7 +85,10 @@ object SparkEntry {
   // could reclaim the space, and leaked ~GB-scale dirs per bench run
   // filled the host disk once
   private lazy val scratchAtExit = {
-    val q = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    // keyed set: freshScratch returns a FIXED path per (pid, tag), so
+    // repeated query invocations must not grow the registry
+    val q = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[String]()
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       q.forEach(p => graft.store.Snapshots.deleteDir(p))
     }))

@@ -501,6 +501,20 @@ class PipelineSpec extends SparkSpec {
         arrangePartitions = Some(4), maxLineageDeltas = Some(1)))
     assert(Snapshots.versions(inc, "edges") == vBefore)
     assert(rRetry.copy(runId = "x") == r.copy(runId = "x"))
+
+    // a FOREIGN crashed ingest (entities slice published, no tail
+    // commit record) must never be folded: its retry's idempotence
+    // key and oldUnion exclusion live on that slice
+    Snapshots.stage(spark, inc, "entities", "lc-crashed",
+      resume = false, metrics = Map("delta" -> "true")) {
+      Snapshots.read(spark, inc, "entities").limit(0)
+    }
+    val entBefore = Snapshots.versions(inc, "entities")
+    val folded = Pipeline.compactLineage(spark, inc, "lc-d3", 1)
+    assert(!folded.contains("entities"),
+      "an uncommitted foreign slice must block entities consolidation")
+    assert(Snapshots.versions(inc, "entities") == entBefore,
+      "the crashed slice must survive untouched")
   }
 
   test("deferred merges: append-only ingests + canon log equal CoW and from-scratch; fold applies the log") {
