@@ -385,10 +385,14 @@ object Pipeline {
     (): Unit
   }
 
-  /** The frozen census of the current epoch. */
+  /** The frozen census of the current epoch. An empty census (no
+    * fuzzy entities at pin time — manifest rows 0) short-circuits
+    * without a collect job: per-ingest fixed cost, not data.
+    */
   private def pinnedHot(spark: SparkSession,
                         runDir: String): Seq[(String, Long)] =
-    Snapshots.read(spark, runDir, "ep_census")
+    if (Snapshots.readManifest(runDir, "ep_census").rows == 0L) Nil
+    else Snapshots.read(spark, runDir, "ep_census")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
   /** Epoch-incremental ingest: delta-only extract AND delta-only
@@ -470,8 +474,19 @@ object Pipeline {
     // SAME runId through runIncremental — the global relink, which
     // bumps the epoch — then pinEpoch).
     val tDrift0 = System.nanoTime()
-    val drift = censusDrift(spark, runDir, cfg, hot, deltaShingled,
-      deltaExtractRows)
+    // an ingest with NO fuzzy delta shingles has drift 0 by definition
+    // (the measured set is empty) — known for free from the slice's
+    // manifest, so the measurement jobs are skipped outright instead
+    // of aggregating empty frames
+    val deltaShRows = Snapshots.versions(runDir, "ep_shingles")
+      .flatMap { v =>
+        val m = Snapshots.readManifestVersion(runDir, "ep_shingles", v)
+        if (m.runId == runId) Some(m.rows) else None
+      }.sum
+    val drift =
+      if (deltaShRows == 0L) 0.0
+      else censusDrift(spark, runDir, cfg, hot, deltaShingled,
+        deltaExtractRows)
     val driftSec = (System.nanoTime() - tDrift0) / 1e9
     cfg.maxCensusDrift.foreach { th =>
       require(drift <= th,
@@ -642,13 +657,17 @@ object Pipeline {
       acc(System.nanoTime() - t0); r
     }
     val assignOld = Snapshots.read(spark, runDir, "assign")
-    val tripleIds = timing(tProbe += _)(deltaTriples
-      .select(Linking.idCol($"pred", $"obj").as("id"))
-      .distinct().as[Long].collect())
-    val endIds = timing(tProbe += _)(deltaLinks.select($"src".as("id"))
-      .unionByName(deltaLinks.select($"dst".as("id")))
-      .distinct().as[Long].collect())
-    val needed = (tripleIds ++ endIds).distinct
+    // triple ids and edge-endpoint ids in ONE collect (tagged union +
+    // groupBy instead of two distinct+collect jobs — the probe is
+    // per-ingest fixed cost)
+    val tagged = timing(tProbe += _)(deltaTriples
+      .select(Linking.idCol($"pred", $"obj").as("id"), lit(true).as("t"))
+      .unionByName(deltaLinks.select($"src".as("id"), lit(false).as("t")))
+      .unionByName(deltaLinks.select($"dst".as("id"), lit(false).as("t")))
+      .groupBy($"id").agg(max($"t").as("t"))
+      .as[(Long, Boolean)].collect())
+    val tripleIds = tagged.collect { case (id, true) => id }
+    val needed = tagged.map(_._1)
     // delta entity ids (bounded by the deltaExtractRows guard above)
     val newIds = scala.collection.mutable.LongMap.empty[Unit]
     timing(tProbe += _)(newEnts.select($"entityId").distinct()

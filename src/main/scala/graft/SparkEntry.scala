@@ -74,6 +74,46 @@ object SparkEntry {
   private def withStagedEvents[T](dir: String, copies: Int = 1)(f: String => T): T =
     withStagedTable(dir, "events", copies)(f)
 
+  /** Shuffle/state partition count for a staged micro-stream, sized to
+    * the INPUT VOLUME (≈1 partition per MB of staged parquet — state
+    * ROWS, not scan bytes, drive per-partition streaming cost, and a
+    * MB of compressed events is ~50k rows), capped by the session's
+    * configured shuffle partitions. Stateful streaming pays
+    * per-partition per-BATCH costs no batch query has (a state store
+    * instance, its commit, its checkpoint delta file), so running a
+    * MB-scale stream with the session's cluster-sized shuffle count
+    * spends the wall on near-empty state commits (measured: 32 parts
+    * is 15–35% slower than anywhere in the 2–16 band on the sf0.1
+    * streams; the band itself is flat). At production volume the
+    * bytes term dominates and the count converges to the session
+    * default. Override: SPARK_GRAFT_STREAM_SHUFFLE.
+    */
+  private def streamShuffleParts(s: SparkSession, stagedDir: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE").map(_.toInt).getOrElse {
+      val bytes =
+        try {
+          val st = java.nio.file.Files.list(java.nio.file.Paths.get(stagedDir))
+          try st.mapToLong(p => java.nio.file.Files.size(p)).sum()
+          finally st.close()
+        } catch { case _: Throwable => Long.MaxValue }
+      val byVolume = (bytes / (1L << 20)) + 1L
+      math.min(s.sessionState.conf.numShufflePartitions.toLong,
+        math.max(1L, byVolume)).toInt
+    }
+
+  /** Run `f` with spark.sql.shuffle.partitions set to `n`, restoring
+    * the previous value — a query must not mutate session state for
+    * whatever runs after it. Only the STREAM executed inside `f` sees
+    * the sized value (it is baked into the new query's state
+    * partitioning at start).
+    */
+  private def withShuffleParts[T](s: SparkSession, n: Int)(f: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try f finally s.conf.set(key, prev)
+  }
+
   /** FIXED per-query scratch dir, cleared at the start of each
     * invocation: a long-lived session re-running these queries (the
     * bench runs each twice) must not leak one temp dir per rep. The
@@ -616,11 +656,12 @@ object SparkEntry {
       s.catalog.dropTempView("stream_windowed_mem")
       withStagedEvents(dir) { staged =>
         val src = s.readStream.schema(batch.schema).parquet(staged)
-        graft.streaming.Streaming.runToMemory(s,
+        withShuffleParts(s, streamShuffleParts(s, staged)) {
+          graft.streaming.Streaming.runToMemory(s,
             graft.streaming.Streaming.windowedEventCounts(src),
             "stream_windowed_mem",
             org.apache.spark.sql.streaming.OutputMode.Complete())
-          .select(col("w_start").cast("timestamp_ntz").as("w_start"),
+        }.select(col("w_start").cast("timestamp_ntz").as("w_start"),
             col("event_type"), col("n"), col("sum_value"))
       }
     }),
@@ -634,12 +675,13 @@ object SparkEntry {
       s.catalog.dropTempView("stream_dedup_mem")
       withStagedEvents(dir, copies = 2) { staged =>
         val src = s.readStream.schema(batch.schema).parquet(staged)
-        graft.streaming.Streaming.runToMemory(s,
+        withShuffleParts(s, streamShuffleParts(s, staged)) {
+          graft.streaming.Streaming.runToMemory(s,
             graft.streaming.Streaming.dedupStream(src, Seq("event_id"),
               watermark = "365 days"),
             "stream_dedup_mem",
             org.apache.spark.sql.streaming.OutputMode.Append())
-          .select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
+        }.select(col("event_id"), col("ts").cast("timestamp_ntz").as("ts"),
             col("user_id"))
       }
     }),
@@ -675,10 +717,12 @@ object SparkEntry {
           .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
             col("user_id"))
           .as[graft.streaming.Streaming.Ev]
-        graft.streaming.Streaming.runToMemory(s,
-          graft.streaming.Streaming.sessionizeStream(src, 1800L).toDF(),
-          "stream_sessions_mem",
-          org.apache.spark.sql.streaming.OutputMode.Append())
+        withShuffleParts(s, streamShuffleParts(s, staged)) {
+          graft.streaming.Streaming.runToMemory(s,
+            graft.streaming.Streaming.sessionizeStream(src, 1800L).toDF(),
+            "stream_sessions_mem",
+            org.apache.spark.sql.streaming.OutputMode.Append())
+        }
       }
     }),
     // ---- the KG pipeline itself, end to end, as a query: one full
@@ -711,9 +755,15 @@ object SparkEntry {
       import sp.implicits._
       val runDir = freshScratch("kgstream")
       val corpus = asksCorpus(s, dir)
-      def batch(m: Int): Seq[SourceFile] = corpus
-        .filter(col("doc_id") % 2 === m).drop("doc_id")
-        .as[SourceFile].collect().toSeq
+      // ONE collect of the corpus, split on the driver: the per-batch
+      // collect re-derived the whole asks corpus (distinctWords +
+      // groupBy + sort_array) once per micro-batch
+      val collected = corpus.select(col("doc_id") % 2 === 0,
+          struct(col("repo"), col("path"), col("commit"), col("lang"),
+            col("content")))
+        .as[(Boolean, SourceFile)].collect()
+      def batch(m: Int): Seq[SourceFile] = collected.toSeq
+        .collect { case (even, f) if even == (m == 0) => f }
       val input = MemoryStream[SourceFile](s)
       withCheckpointDir(s, s"$runDir/_ck") {
         val q = graft.streaming.Streaming.kgIngestStream(input.toDS(), runDir,
@@ -862,8 +912,16 @@ object SparkEntry {
       import sp.implicits._
       val runDir = freshScratch("kgpin")
       val filesDf = asksCorpus(s, dir)
+      // canonBuckets sized to THIS corpus (a few thousand forms):
+      // B is a layout knob — "one bucket ≈ a comfortable task input"
+      // (Config.canonBuckets) — and B=64 at gate scale meant ~128
+      // near-empty ident×cb partition dirs per publish, whose dynamic-
+      // partition commit + footer reads dominated the stage walls
+      // (assign 1.7s of a 4.8s base run, PinProfile r8). B=16 keeps
+      // the patched-tail machinery identical (results are
+      // layout-independent) at a quarter the dir count.
       val cfg = graft.Pipeline.Config(resume = false,
-        arrangePartitions = Some(4), canonBuckets = Some(64))
+        arrangePartitions = Some(4), canonBuckets = Some(16))
       withCheckpointDir(s, s"$runDir/_ck") {
         graft.Pipeline.run(s,
           filesDf.filter(col("doc_id") % 2 === 0).drop("doc_id")
@@ -889,8 +947,10 @@ object SparkEntry {
       import sp.implicits._
       val runDir = freshScratch("kgdef")
       val filesDf = asksCorpus(s, dir)
+      // B=16 for the same corpus-sizing reason as kg_nodes_pinned
+      // (quarter the partition dirs per publish AND per fold)
       val cfg = graft.Pipeline.Config(resume = false,
-        arrangePartitions = Some(4), canonBuckets = Some(64),
+        arrangePartitions = Some(4), canonBuckets = Some(16),
         deferMerges = true, compactAppendFrac = Some(1e-9))
       withCheckpointDir(s, s"$runDir/_ck") {
         graft.Pipeline.run(s,

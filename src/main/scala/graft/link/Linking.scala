@@ -408,7 +408,14 @@ object Linking {
     */
   private def scorePairs(cand: DataFrame, shingled: DataFrame,
                          cfg: Config, keepDist: Boolean): DataFrame = {
-    val sets = shingled.select(col("pred"), col("entityId"), col("shingles"))
+    // join on entityId ALONE: candidates are within-pred by
+    // construction (every generator buckets on pred), and entityId =
+    // xxhash64(pred, obj) is unique per form, so the pred equi-term
+    // added nothing but a string column riding the candidate exchange
+    // — the widest shuffle of the link stage. Dropping it narrows the
+    // candidate rows to (src, dst) 16 bytes and makes both join keys
+    // single longs (same accepted 64-bit-collision regime as idCol).
+    val sets = shingled.select(col("entityId"), col("shingles"))
     // zero-allocation merge count over the sorted hash arrays (the
     // withShingles sortedness contract) — array_intersect would build
     // a hash set AND the intersection array per candidate pair
@@ -416,11 +423,10 @@ object Linking {
       col("sa.shingles"), col("sb.shingles")).cast("double")
     val uni = (size(col("sa.shingles")) + size(col("sb.shingles")))
       .cast("double") - inter
-    val scored = cand
-      .join(sets.as("sa"), cand("src") === col("sa.entityId") &&
-        cand("pred") === col("sa.pred"))
-      .join(sets.as("sb"), cand("dst") === col("sb.entityId") &&
-        cand("pred") === col("sb.pred"))
+    val pairs = cand.select(col("src"), col("dst"))
+    val scored = pairs
+      .join(sets.as("sa"), pairs("src") === col("sa.entityId"))
+      .join(sets.as("sb"), pairs("dst") === col("sb.entityId"))
       .select(col("src"), col("dst"), (inter / uni).as("j"))
       .filter(col("j") >= cfg.threshold)
     if (keepDist)
@@ -440,11 +446,14 @@ object Linking {
     // forms drop out of blocking, same as in the banded path
     val ex = withBlockShingles(shingled, cfg, n)
       .select(col("pred"), col("entityId"), explode(col("bsh")).as("sh"))
+    // distinct over (src, dst) only: pred is functionally determined
+    // by src (entityId hashes the pred), so the pair set is identical
+    // and the distinct's exchange is a quarter narrower without the
+    // string column
     val cand = ex.as("a").join(ex.as("b"),
         col("a.pred") === col("b.pred") && col("a.sh") === col("b.sh") &&
           col("a.entityId") < col("b.entityId"))
-      .select(col("a.pred").as("pred"), col("a.entityId").as("src"),
-        col("b.entityId").as("dst"))
+      .select(col("a.entityId").as("src"), col("b.entityId").as("dst"))
       .distinct()
     scorePairs(cand, shingled, cfg, keepDist = false)
   }
@@ -529,12 +538,13 @@ object Linking {
     val d =
       if (deltaKeyRows <= SkewJoin.BroadcastableRightRows) broadcast(keysDelta)
       else keysDelta
+    // (src, dst) only — pred is determined by the endpoints (see
+    // exactJaccardEdges), so the dedup exchange drops the string column
     val cand = d.as("d").join(keysAll.as("a"),
         col("d.pred") === col("a.pred") && col("d.band") === col("a.band") &&
           col("d.key") === col("a.key") &&
           col("d.entityId") =!= col("a.entityId"))
-      .select(col("d.pred").as("pred"),
-        least(col("d.entityId"), col("a.entityId")).as("src"),
+      .select(least(col("d.entityId"), col("a.entityId")).as("src"),
         greatest(col("d.entityId"), col("a.entityId")).as("dst"))
       .distinct()
     // NO broadcast hint on cand: |cand| = Σ over delta keys of their

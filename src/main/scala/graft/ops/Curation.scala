@@ -215,10 +215,20 @@ object Curation {
 
   /** Funnel diagnostic: per-stage survivor counts as one DataFrame —
     * the observability view every curation run is judged by (how much
-    * did each filter cost?). Each count re-evaluates its stage prefix
-    * (this is a diagnostic over a lazily-composed chain, not the
-    * production path — [[run]]'s manifests carry the same counts for
-    * free from the parquet footers).
+    * did each filter cost?).
+    *
+    * ONE PASS over the corpus (round-8 optimization): the naive
+    * union-of-four-counts re-evaluated each stage's prefix — 4 corpus
+    * scans, 3 dedup windows, 2 decontamination subtrees. Every stage
+    * decision is a per-row PREDICATE over the deduped corpus (the
+    * repetition filter and hash sampler are row-local; the
+    * contamination flag is a per-doc decision against the broadcast
+    * eval n-grams, so flagging the un-cleaned corpus and AND-ing with
+    * the clean flag equals flagging the clean survivors — the same
+    * argument [[run]] uses for its snapshot layout). So: compute the
+    * three survival flags in one projection and take four conditional
+    * aggregates in one job. Counts are identical to the staged
+    * evaluation; only the pass count changes (4 scans → 1).
     */
   def funnel(docs: DataFrame,
              benchFilter: Column,
@@ -231,19 +241,42 @@ object Curation {
              id: String = "doc_id",
              text: String = "text",
              strata: String = "source"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val corpus = docs.filter(!benchFilter)
-    val clean = cleanStage(corpus, maxTopWordFrac, maxDup2GramFrac,
-      id, text, strata)
-    val decon = deconStage(clean, docs.filter(benchFilter),
-      contamN, contamMinOverlap, id, text)
-    val sampled = Sampling.stratifiedSample(
-      decon, col(id), col(strata), rates, defaultRate)
-    def cnt(name: String, df: DataFrame): DataFrame =
-      df.agg(count(lit(1)).as("n_rows")).select(lit(name).as("stage"),
-        col("n_rows"))
-    cnt("1_corpus", corpus)
-      .unionByName(cnt("2_clean", clean))
-      .unionByName(cnt("3_decontaminated", decon))
-      .unionByName(cnt("4_sampled", sampled))
+    val byFp = Window.partitionBy(md5(col(text))).orderBy(col(id))
+    // same let-bound repetition predicate as cleanStage (see the
+    // alias-inlining note there)
+    val keepExpr = element_at(
+      transform(array(TextOps.words(col(text))), ws => {
+        val (topFrac, dup2) = TextOps.repetitionMetrics(ws)
+        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
+      }), 1)
+    val flagged = Dedup.contaminated(corpus, docs.filter(benchFilter),
+        n = contamN, minOverlap = contamMinOverlap, id = id, text = text)
+      .select(col(id), lit(true).as("__flag"))
+    val marked = corpus
+      .withColumn("__rn", row_number().over(byFp))
+      .join(flagged, Seq(id), "left")
+      .select(
+        (col("__rn") === 1 && keepExpr).as("__clean"),
+        (col("__rn") === 1 && keepExpr && col("__flag").isNull)
+          .as("__decon"),
+        Sampling.stratifiedKeep(col(id), col(strata), rates, defaultRate)
+          .as("__samp"))
+    marked.agg(
+        count(lit(1)).as("n1"),
+        coalesce(sum(when(col("__clean"), 1L).otherwise(0L)), lit(0L))
+          .as("n2"),
+        coalesce(sum(when(col("__decon"), 1L).otherwise(0L)), lit(0L))
+          .as("n3"),
+        coalesce(sum(when(col("__decon") && col("__samp"), 1L)
+          .otherwise(0L)), lit(0L)).as("n4"))
+      .select(explode(array(
+        struct(lit("1_corpus").as("stage"), col("n1").as("n_rows")),
+        struct(lit("2_clean").as("stage"), col("n2").as("n_rows")),
+        struct(lit("3_decontaminated").as("stage"), col("n3").as("n_rows")),
+        struct(lit("4_sampled").as("stage"), col("n4").as("n_rows"))))
+        .as("r"))
+      .select(col("r.stage").as("stage"), col("r.n_rows").as("n_rows"))
   }
 }

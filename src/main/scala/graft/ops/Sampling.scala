@@ -67,7 +67,17 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
                        rates: Map[String, Double],
-                       defaultRate: Double = 1.0): DataFrame = {
+                       defaultRate: Double = 1.0): DataFrame =
+    df.filter(stratifiedKeep(idCol, strataCol, rates, defaultRate))
+
+  /** The keep predicate of [[stratifiedSample]] as a pure Column —
+    * lets a caller that only needs the DECISION (e.g. a one-pass
+    * funnel count) evaluate it alongside other flags instead of
+    * re-evaluating its input subtree through a filter.
+    */
+  private[graft] def stratifiedKeep(idCol: Column, strataCol: Column,
+                                    rates: Map[String, Double],
+                                    defaultRate: Double = 1.0): Column = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"rate out of [0,1]: $r"))
     val bucket = substring(md5(concat(lit("sample:"), idCol.cast("string"))), 1, 4)
@@ -77,8 +87,8 @@ object Sampling {
     }
     // rate 1.0 keeps everything: hexThreshold caps at 'ffff' which a
     // 4-hex bucket can reach, so compare with <= only for the cap
-    df.filter(bucket < threshold ||
-      (threshold === lit("ffff") && bucket === lit("ffff")))
+    bucket < threshold ||
+      (threshold === lit("ffff") && bucket === lit("ffff"))
   }
 
   /** Token-budget mixture planning: derive each stratum's keep rate
