@@ -374,14 +374,33 @@ object Pipeline {
       Linking.shingleTable(fuzzy, cfg.link)
     }
     val hot = Linking.hotShingles(shingled, cap)
-    Snapshots.stage(spark, runDir, "ep_census", runId, resume = false,
-      metrics = Map("cap" -> cap.toString, "nEnts" -> nEnts.toString)) {
-      hot.toDF("pred", "sh")
-    }
-    Snapshots.stage(spark, runDir, "ep_keys", runId, resume = false,
-      metrics = Map("delta" -> "false")) {
-      Linking.bandedKeyTable(shingled, cfg.link, hot)
-    }
+    // ep_census and ep_keys both derive from (shingled, hot) and
+    // publish disjoint stages — overlap the two publishes (same crash
+    // contract as the other concurrent publishes: each stage's own
+    // manifest is the commit record)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = Seq(
+        scala.concurrent.Future {
+          Snapshots.stage(spark, runDir, "ep_census", runId, resume = false,
+            metrics = Map("cap" -> cap.toString, "nEnts" -> nEnts.toString)) {
+            hot.toDF("pred", "sh")
+          }
+          (): Unit
+        },
+        scala.concurrent.Future {
+          Snapshots.stage(spark, runDir, "ep_keys", runId, resume = false,
+            metrics = Map("delta" -> "false")) {
+            Linking.bandedKeyTable(shingled, cfg.link, hot)
+          }
+          (): Unit
+        })
+        .map(f => scala.util.Try(scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)))
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+    } finally pool.shutdown()
     (): Unit
   }
 
@@ -1048,7 +1067,12 @@ object Pipeline {
         .sortWithinPartitions(col("cb"), col("kind"))),
       "edges" -> (d => resolveIf("edges", d).repartition(col("cb"))
         .sortWithinPartitions(col("cb"), col("pred"))))
-    toFold.foreach { st =>
+    // the folds publish DISJOINT stages from already-published inputs
+    // — run them concurrently, same shape and crash contract as the
+    // tail-patch parallel publish in incrementalCanonicalize (each
+    // fold re-checks its own manifest; a crashed subset re-folds on
+    // retry, an already-folded stage is below threshold and skipped)
+    def fold(st: String): Unit = {
       val m = Snapshots.readManifest(runDir, st)
       val (appendRows, sets) = Snapshots.appendStats(m)
       // carry the layout stamp: the next ingest's patch precondition
@@ -1058,6 +1082,19 @@ object Pipeline {
       Snapshots.compact(spark, runDir, st, runId,
         keep ++ Map("appendRowsFolded" -> appendRows.toString,
           "appendSetsFolded" -> sets.toString))(shapes(st))
+      (): Unit
+    }
+    if (toFold.length <= 1) toFold.foreach(fold)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(toFold.length)
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutorService(pool)
+      try {
+        val done = toFold.map(st => scala.concurrent.Future(fold(st)))
+          .map(f => scala.util.Try(scala.concurrent.Await.result(
+            f, scala.concurrent.duration.Duration.Inf)))
+        done.collectFirst { case scala.util.Failure(e) => throw e }
+      } finally pool.shutdown()
     }
     if (dirty) {
       import spark.implicits._

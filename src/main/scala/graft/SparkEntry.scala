@@ -824,7 +824,13 @@ object SparkEntry {
       // "upper bound only raises the cap — safe" contract and could
       // lower the stop-shingle cap below real dfs at larger SFs
       // (LinkingCcSpec guards the df headroom on the gate corpus).
+      // scratchDir: the shared shingle table is read 4× per link run
+      // (census, blocking, both scoring sides) — materialize it once
+      // instead of re-deriving distinctWords+shingles per consumer
+      // (the Pipeline already does this; round 8 extends it to the
+      // ad-hoc composition queries)
       val links = graft.link.Linking.linkEdges(ents,
+        graft.link.Linking.Config(scratchDir = Some(freshScratch("kgfuzzy"))),
         fuzzyNonEmpty = Some(true), sizeHint = None)
       val (assign, _) = graft.Pipeline.assignCanonical(ents, links)
       graft.Pipeline.nodeTable(assign)
@@ -858,7 +864,10 @@ object SparkEntry {
       val variants = combos.select(lit("tagged").as("pred"),
         expr("substring(obj, 1, length(obj) - 1)").as("obj"))
       val ents = graft.link.Linking.entitiesOf(base.unionByName(variants))
+      // scratchDir: same 4×-read shingle materialization as
+      // kg_nodes_fuzzy above
       val links = graft.link.Linking.linkEdges(ents,
+        graft.link.Linking.Config(scratchDir = Some(freshScratch("kgband"))),
         fuzzyNonEmpty = Some(true), sizeHint = Some(30000L))
       val (assign, _) = graft.Pipeline.assignCanonical(ents, links)
       graft.Pipeline.nodeTable(assign)

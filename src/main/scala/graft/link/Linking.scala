@@ -15,11 +15,12 @@ import org.apache.spark.sql.functions._
   *  2. MinHash-LSH candidates: 3-gram character shingles of the
   *     normalized form, stop shingles (df above a scale-free cap)
   *     removed, → hand-rolled min-xxhash64 band keys (rowsPerBand
-  *     AND-amplified per band, OR across bands) joined on
-  *     (pred, band, key), then each candidate pair SCORED with the
-  *     exact set Jaccard over the true shingle sets inside a shuffle
-  *     join (the sort-merge-join scoring phase of the north rule).
-  *     Pairs with Jaccard ≥ threshold and equal pred become edges.
+  *     AND-amplified per band, OR across bands; pred folded into the
+  *     key hash) bucketed on (band, key), then each candidate pair
+  *     SCORED with the exact set Jaccard over the true shingle sets
+  *     inside a shuffle join (the sort-merge-join scoring phase of
+  *     the north rule). Pairs with Jaccard ≥ threshold become edges
+  *     (within-pred by construction of the bucket key).
   *
   * Absent from the reference (it has no linking at all — SURVEY.md §2
   * "relational-operator absences"); this is the new KG capability the
@@ -168,18 +169,39 @@ object Linking {
   /** Path 1: link every form to the min-id form of its (pred, norm)
     * block. Block sizes are bounded (surface variants of one entity),
     * so the join is not skew-prone; AQE covers residual imbalance.
+    *
+    * The block key is xxhash64(pred, norm) (round 8), not the string
+    * pair: both the aggregation and the join exchange every entity
+    * row, and an 8-byte key replaces pred+norm strings (~40–80 B) in
+    * the widest all-entities shuffles of the link stage. A 64-bit
+    * collision would merge two unrelated norm blocks — the same
+    * accepted collision regime as [[idCol]] (which already identifies
+    * forms by a 64-bit hash); the DuckDB twins recompute STRING norm
+    * classes and pin no-collision on the gate corpora.
     */
   private[link] def exactNormEdges(ents: DataFrame, cfg: Config): DataFrame = {
-    val mins = ents.groupBy("pred", "norm")
+    val keyed = ents.select(
+      xxhash64(col("pred"), col("norm")).as("bk"),
+      col("entityId"))
+    val mins = keyed.groupBy("bk")
       .agg(min("entityId").as("dst"), count(lit(1)).as("n"))
       .filter(col("n") > 1).drop("n")
-    ents.join(mins, Seq("pred", "norm"))
+    keyed.join(mins, Seq("bk"))
       .filter(col("entityId") =!= col("dst"))
       .select(col("entityId").as("src"), col("dst"))
   }
 
-  /** One (pred, entityId, band, key) row per band per form — the
-    * blocking table both candidate generators bucket on.
+  /** One (entityId, band, key) row per band per form — the blocking
+    * table both candidate generators bucket on. `pred` is FOLDED INTO
+    * the key hash (round 8) instead of riding every banded row as a
+    * string column: the census window and the bucket groupBy used to
+    * sort/shuffle 20 rows per form keyed by (pred, band, key), and the
+    * pred string was the widest, most compare-expensive part of that
+    * key. Bucket semantics are unchanged — same-pred forms with equal
+    * band signatures collide exactly as before; two buckets of
+    * DIFFERENT preds merge only on a 64-bit collision, which can only
+    * ADD candidate pairs (scored exactly downstream over the shingle
+    * sets), the same accepted collision regime as [[idCol]].
     */
   private def bandedKeys(shingled: DataFrame, cfg: Config,
                          n: Long): DataFrame = {
@@ -193,21 +215,21 @@ object Linking {
       .select(col("pred"), col("entityId"),
         graft.functions.MinHashSigs(col("bsh"), nHashes, cfg.seed).as("sigs"))
       .filter(col("sigs").isNotNull)
-    // band key = ONE xxhash64 over the band's rowsPerBand signatures,
-    // not a struct of them: the census window sorts and the bucket
-    // groupBy shuffle on (pred, band, key), and an 8-byte key keeps
-    // that sort/exchange a quarter the width of the 4-long struct. A
-    // 64-bit collision merges two unrelated buckets — it can only ADD
-    // candidates (scored exactly downstream), never drop one, so the
-    // recall analysis in [[lshEdgesImpl]] is a lower bound either way.
+    // band key = ONE xxhash64 over pred + the band's rowsPerBand
+    // signatures, not a struct of them: an 8-byte key keeps the
+    // census sort/exchange a fraction of the width of the pred string
+    // + 4-long struct. A 64-bit collision merges two unrelated
+    // buckets — it can only ADD candidates (scored exactly
+    // downstream), never drop one, so the recall analysis in
+    // [[lshEdgesImpl]] is a lower bound either way.
     val bandStructs = (0 until cfg.bands).map { b =>
       struct(lit(b).as("band"),
-        xxhash64((0 until cfg.rowsPerBand).map(r =>
+        xxhash64(col("pred") +: (0 until cfg.rowsPerBand).map(r =>
           col("sigs").getItem(b * cfg.rowsPerBand + r)): _*).as("key"))
     }
-    keys.select(col("pred"), col("entityId"),
+    keys.select(col("entityId"),
         explode(array(bandStructs: _*)).as("bk"))
-      .select(col("pred"), col("entityId"),
+      .select(col("entityId"),
         col("bk.band").as("band"), col("bk.key").as("key"))
   }
 
@@ -230,9 +252,10 @@ object Linking {
     *    emitted directly from the member↔census join — s pairs instead
     *    of s², streamed with no per-key buffering at all.
     * The banded-keys table feeds both the census and the member join
-    * on the SAME (pred, band, key) partitioning, so Catalyst reuses
-    * one exchange; the post-join groupBy inherits that partitioning
-    * and shuffles nothing new. Candidate-set equality with the
+    * on the SAME (band, key) partitioning (pred folded into the key
+    * hash — see [[bandedKeys]]), so Catalyst reuses one exchange; the
+    * post-join groupBy inherits that partitioning and shuffles
+    * nothing new. Candidate-set equality with the
     * single-phase formulation is pinned by LinkingCcSpec (star count,
     * subset, default-cap no-op).
     */
@@ -251,7 +274,7 @@ object Linking {
     // aggregation buffer, a pathological bucket can spill to disk
     // instead of pinning O(bucket) heap.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("pred", "band", "key")
+      .partitionBy("band", "key")
     val sized = banded
       .withColumn("center", min(col("entityId")).over(w))
       .withColumn("bn", count(lit(1)).over(w))
@@ -260,17 +283,15 @@ object Linking {
       .filter(col("bn") > cfg.maxBandBucket &&
         col("entityId") =!= col("center"))
       // center is the bucket min, so src < dst holds
-      .select(col("pred"), col("center").as("src"),
-        col("entityId").as("dst"))
+      .select(col("center").as("src"), col("entityId").as("dst"))
     val clique = sized.filter(col("bn") <= cfg.maxBandBucket)
-      .groupBy("pred", "band", "key")
+      .groupBy("band", "key")
       .agg(sort_array(collect_list(col("entityId"))).as("ids"))
-      .select(col("pred"), col("ids"),
-        posexplode(col("ids")).as(Seq("i", "x")))
-      .select(col("pred"), col("x"),
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
+      .select(col("x"),
         explode(expr("slice(ids, i + 2, size(ids) - i - 1)")).as("y"))
       // ids sorted ascending → x (earlier position) < y always
-      .select(col("pred"), col("x").as("src"), col("y").as("dst"))
+      .select(col("x").as("src"), col("y").as("dst"))
     star.unionByName(clique)
   }
 
@@ -539,9 +560,10 @@ object Linking {
       if (deltaKeyRows <= SkewJoin.BroadcastableRightRows) broadcast(keysDelta)
       else keysDelta
     // (src, dst) only — pred is determined by the endpoints (see
-    // exactJaccardEdges), so the dedup exchange drops the string column
+    // exactJaccardEdges) and folded into the band key by bandedKeys,
+    // so both the join keys and the dedup exchange are pred-free
     val cand = d.as("d").join(keysAll.as("a"),
-        col("d.pred") === col("a.pred") && col("d.band") === col("a.band") &&
+        col("d.band") === col("a.band") &&
           col("d.key") === col("a.key") &&
           col("d.entityId") =!= col("a.entityId"))
       .select(least(col("d.entityId"), col("a.entityId")).as("src"),

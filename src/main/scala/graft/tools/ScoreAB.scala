@@ -33,11 +33,11 @@ object ScoreAB {
       val sets = shingled
       val inter = size(array_intersect(col("sa.shingles"), col("sb.shingles"))).cast("double")
       val uni = (size(col("sa.shingles")) + size(col("sb.shingles"))).cast("double") - inter
+      // r8: candidates no longer carry pred (folded into the band
+      // key); scoring joins on entityId alone, mirroring Linking
       cand
-        .join(sets.as("sa"), cand("src") === col("sa.entityId") &&
-          cand("pred") === col("sa.pred"))
-        .join(sets.as("sb"), cand("dst") === col("sb.entityId") &&
-          cand("pred") === col("sb.pred"))
+        .join(sets.as("sa"), cand("src") === col("sa.entityId"))
+        .join(sets.as("sb"), cand("dst") === col("sb.entityId"))
         .select(col("src"), col("dst"), (inter / uni).as("j"))
         .filter(col("j") >= cfg.threshold)
         .select(col("src"), col("dst")).distinct()
