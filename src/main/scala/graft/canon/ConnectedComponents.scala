@@ -51,17 +51,30 @@ object ConnectedComponents {
           localThreshold: Long = LocalEdgeThreshold): Result = {
     val spark = edges0.sparkSession
 
-    var e = edges0.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src") =!= col("dst")).distinct()
+    // cache the RAW edges and decide the path on their count: the
+    // union-find is duplicate-tolerant, so the local path skips the
+    // distinct exchange the iterative path needs (one shuffle ahead
+    // of EVERY small-graph canonicalization — the common case for the
+    // gate corpora and the bench pipeline). The persist keeps the
+    // upstream (often a full banding+scoring subtree) evaluated ONCE
+    // across the count and the collect. Raw ≥ distinct count, so the
+    // threshold decision is conservative: a duplicate-heavy edge set
+    // falls to the distributed path, never the reverse.
+    val raw = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src") =!= col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var prevSig = signature(e)
-    var edgeCount = prevSig._1
-
-    if (edgeCount <= localThreshold) {
-      val result = runLocal(e)
-      e.unpersist(false)
+    if (raw.count() <= localThreshold) {
+      val result = runLocal(raw)
+      raw.unpersist(false)
       return result
     }
+
+    var e = raw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    var prevSig = signature(e)
+    var edgeCount = prevSig._1
+    // e is materialized by the signature scan; the raw cache has no
+    // further consumer
+    raw.unpersist(false)
     var iter = 0
     var converged = false
     val retained = scala.collection.mutable.Buffer[DataFrame](e)

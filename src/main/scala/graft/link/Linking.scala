@@ -16,11 +16,12 @@ import org.apache.spark.sql.functions._
   *     normalized form, stop shingles (df above a scale-free cap)
   *     removed, → hand-rolled min-xxhash64 band keys (rowsPerBand
   *     AND-amplified per band, OR across bands; pred folded into the
-  *     key hash) bucketed on (band, key), then each candidate pair
-  *     SCORED with the exact set Jaccard over the true shingle sets
-  *     inside a shuffle join (the sort-merge-join scoring phase of
-  *     the north rule). Pairs with Jaccard ≥ threshold become edges
-  *     (within-pred by construction of the bucket key).
+  *     key hash) bucketed on the single 8-byte band key, then each
+  *     candidate pair SCORED with the exact set Jaccard over the
+  *     true shingle sets inside a shuffle join (the sort-merge-join
+  *     scoring phase of the north rule). Pairs with Jaccard ≥
+  *     threshold become edges (within-pred by construction of the
+  *     bucket key).
   *
   * Absent from the reference (it has no linking at all — SURVEY.md §2
   * "relational-operator absences"); this is the new KG capability the
@@ -191,13 +192,13 @@ object Linking {
       .select(col("entityId").as("src"), col("dst"))
   }
 
-  /** One (entityId, band, key) row per band per form — the blocking
-    * table both candidate generators bucket on. `pred` is FOLDED INTO
-    * the key hash (round 8) instead of riding every banded row as a
-    * string column: the census window and the bucket groupBy used to
-    * sort/shuffle 20 rows per form keyed by (pred, band, key), and the
-    * pred string was the widest, most compare-expensive part of that
-    * key. Bucket semantics are unchanged — same-pred forms with equal
+  /** One (entityId, key) row per band per form — the blocking table
+    * both candidate generators bucket on. `pred` AND the band index
+    * are FOLDED INTO the key hash (round 8) instead of riding every
+    * banded row as separate columns: the census window and the bucket
+    * groupBy used to sort/shuffle 20 rows per form keyed by
+    * (pred:string, band, key), and the pred string was the widest,
+    * most compare-expensive part of that key. Bucket semantics are unchanged — same-pred forms with equal
     * band signatures collide exactly as before; two buckets of
     * DIFFERENT preds merge only on a 64-bit collision, which can only
     * ADD candidate pairs (scored exactly downstream over the shingle
@@ -215,22 +216,20 @@ object Linking {
       .select(col("pred"), col("entityId"),
         graft.functions.MinHashSigs(col("bsh"), nHashes, cfg.seed).as("sigs"))
       .filter(col("sigs").isNotNull)
-    // band key = ONE xxhash64 over pred + the band's rowsPerBand
-    // signatures, not a struct of them: an 8-byte key keeps the
-    // census sort/exchange a fraction of the width of the pred string
-    // + 4-long struct. A 64-bit collision merges two unrelated
+    // band key = ONE xxhash64 over (band index, pred, the band's
+    // rowsPerBand signatures) — the whole bucket identity in a single
+    // 8-byte column, so the census sort/exchange and the bucket
+    // groupBy key on one long (vs the round-7 pred string + band int
+    // + 4-long struct). A 64-bit collision merges two unrelated
     // buckets — it can only ADD candidates (scored exactly
     // downstream), never drop one, so the recall analysis in
     // [[lshEdgesImpl]] is a lower bound either way.
-    val bandStructs = (0 until cfg.bands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(col("pred") +: (0 until cfg.rowsPerBand).map(r =>
-          col("sigs").getItem(b * cfg.rowsPerBand + r)): _*).as("key"))
+    val bandKeys = (0 until cfg.bands).map { b =>
+      xxhash64(lit(b) +: col("pred") +: (0 until cfg.rowsPerBand).map(r =>
+        col("sigs").getItem(b * cfg.rowsPerBand + r)): _*)
     }
     keys.select(col("entityId"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("entityId"),
-        col("bk.band").as("band"), col("bk.key").as("key"))
+        explode(array(bandKeys: _*)).as("key"))
   }
 
   /** Banded candidate pairs: grouped in-bucket expansion (groupBy band
@@ -252,8 +251,9 @@ object Linking {
     *    emitted directly from the member↔census join — s pairs instead
     *    of s², streamed with no per-key buffering at all.
     * The banded-keys table feeds both the census and the member join
-    * on the SAME (band, key) partitioning (pred folded into the key
-    * hash — see [[bandedKeys]]), so Catalyst reuses one exchange; the
+    * on the SAME single-long key partitioning (pred and band folded
+    * into the hash — see [[bandedKeys]]), so Catalyst reuses one
+    * exchange; the
     * post-join groupBy inherits that partitioning and shuffles
     * nothing new. Candidate-set equality with the
     * single-phase formulation is pinned by LinkingCcSpec (star count,
@@ -274,7 +274,7 @@ object Linking {
     // aggregation buffer, a pathological bucket can spill to disk
     // instead of pinning O(bucket) heap.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("band", "key")
+      .partitionBy("key")
     val sized = banded
       .withColumn("center", min(col("entityId")).over(w))
       .withColumn("bn", count(lit(1)).over(w))
@@ -285,7 +285,7 @@ object Linking {
       // center is the bucket min, so src < dst holds
       .select(col("center").as("src"), col("entityId").as("dst"))
     val clique = sized.filter(col("bn") <= cfg.maxBandBucket)
-      .groupBy("band", "key")
+      .groupBy("key")
       .agg(sort_array(collect_list(col("entityId"))).as("ids"))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "x")))
       .select(col("x"),
@@ -428,7 +428,8 @@ object Linking {
     * rule).
     */
   private def scorePairs(cand: DataFrame, shingled: DataFrame,
-                         cfg: Config, keepDist: Boolean): DataFrame = {
+                         cfg: Config, keepDist: Boolean,
+                         shjHint: Boolean = false): DataFrame = {
     // join on entityId ALONE: candidates are within-pred by
     // construction (every generator buckets on pred), and entityId =
     // xxhash64(pred, obj) is unique per form, so the pred equi-term
@@ -444,10 +445,21 @@ object Linking {
       col("sa.shingles"), col("sb.shingles")).cast("double")
     val uni = (size(col("sa.shingles")) + size(col("sb.shingles")))
       .cast("double") - inter
+    // shjHint (scale path only): the build side of each scoring join
+    // is the (entityId, shingles) table — orders of magnitude fewer
+    // rows than the candidate stream, with per-partition build maps in
+    // the MBs; sort-merge (the planner default above the broadcast
+    // threshold) would SORT the multi-million-row candidate stream
+    // twice for nothing. Measured at 200k files: linkEdges warm
+    // 7.8 → 6.0 s. The hint is NOT applied on the small exact path,
+    // where the sets table fits the broadcast threshold and a forced
+    // shuffle would replace a broadcast join.
+    def hinted(df: DataFrame): DataFrame =
+      if (shjHint) df.hint("SHUFFLE_HASH") else df
     val pairs = cand.select(col("src"), col("dst"))
     val scored = pairs
-      .join(sets.as("sa"), pairs("src") === col("sa.entityId"))
-      .join(sets.as("sb"), pairs("dst") === col("sb.entityId"))
+      .join(hinted(sets.as("sa")), pairs("src") === col("sa.entityId"))
+      .join(hinted(sets.as("sb")), pairs("dst") === col("sb.entityId"))
       .select(col("src"), col("dst"), (inter / uni).as("j"))
       .filter(col("j") >= cfg.threshold)
     if (keepDist)
@@ -503,7 +515,7 @@ object Linking {
     // arrays ride the SETS side, which shuffles identically either
     // way). The post-score distinct (tiny output) removes the repeats.
     val cand = lshCandidates(shingled, cfg, n)
-    scorePairs(cand, shingled, cfg, keepDist).distinct()
+    scorePairs(cand, shingled, cfg, keepDist, shjHint = true).distinct()
   }
 
   // ------------------------------------------------------------------
@@ -559,12 +571,11 @@ object Linking {
     val d =
       if (deltaKeyRows <= SkewJoin.BroadcastableRightRows) broadcast(keysDelta)
       else keysDelta
-    // (src, dst) only — pred is determined by the endpoints (see
-    // exactJaccardEdges) and folded into the band key by bandedKeys,
-    // so both the join keys and the dedup exchange are pred-free
+    // (src, dst) only — pred AND band are folded into the single
+    // band-key hash by bandedKeys, so the join keys on one long and
+    // the dedup exchange is pred-free
     val cand = d.as("d").join(keysAll.as("a"),
-        col("d.band") === col("a.band") &&
-          col("d.key") === col("a.key") &&
+        col("d.key") === col("a.key") &&
           col("d.entityId") =!= col("a.entityId"))
       .select(least(col("d.entityId"), col("a.entityId")).as("src"),
         greatest(col("d.entityId"), col("a.entityId")).as("dst"))
@@ -577,7 +588,8 @@ object Linking {
     // landing in pathological buckets can make cand arbitrarily large.
     // AQE plans the scoring join from cand's RUNTIME size instead
     // (broadcasts it when it really is small, shuffles when not).
-    scorePairs(cand, shingledAll, cfg, keepDist = false).distinct()
+    scorePairs(cand, shingledAll, cfg, keepDist = false, shjHint = true)
+      .distinct()
   }
 
   /** Exact-norm delta edges: connect each delta form into its

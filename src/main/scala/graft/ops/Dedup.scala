@@ -233,9 +233,15 @@ object Dedup {
     * ≤ (1−J)^b (≈0.4% at b=8) while random text pairs (shingle
     * Jaccard ≈ 0) almost never collide.
     */
-  /** (id, band, key) MinHash band-key table — the blocking artifact
-    * both the self-join candidates and the cross-corpus
-    * decontamination join bucket on.
+  /** (id, key) MinHash band-key table — the blocking artifact both
+    * the self-join candidates and the cross-corpus decontamination
+    * join bucket on. No separate band column (round 8): each band's
+    * min-hash uses its own seed (`seed + i`), so keys are
+    * band-distinct by construction and the blocking joins key on ONE
+    * long instead of (band:int, key:long). A cross-band 64-bit
+    * coincidence merges two unrelated buckets — it can only ADD a
+    * candidate pair, which the exact-Jaccard re-score then judges,
+    * the same accepted collision regime as exact dedup's md5.
     */
   private[graft] def bandKeys(docs: DataFrame, n: Int, numBands: Int,
                               seed: Long, id: String,
@@ -245,8 +251,7 @@ object Dedup {
       min(xxhash64(lit(seed + i), col("shingle"))).as(s"k$i"))
     val keys = sh.groupBy(col(id)).agg(aggs.head, aggs.tail: _*)
     keys.select(col(id), explode(array((0 until numBands).map(i =>
-        struct(lit(i).as("band"), col(s"k$i").as("key"))): _*)).as("bk"))
-      .select(col(id), col("bk.band").as("band"), col("bk.key").as("key"))
+        col(s"k$i")): _*)).as("key"))
   }
 
   private[graft] def minhashBandCandidates(docs: DataFrame, n: Int = 3,
@@ -255,7 +260,7 @@ object Dedup {
                                            id: String = "doc_id",
                                            text: String = "text"): DataFrame = {
     val banded = bandKeys(docs, n, numBands, seed, id, text)
-    banded.as("a").join(banded.as("b"), Seq("band", "key"))
+    banded.as("a").join(banded.as("b"), Seq("key"))
       .filter(col(s"a.$id") < col(s"b.$id"))
       .select(col(s"a.$id").as("id_a"), col(s"b.$id").as("id_b"))
       .distinct()
@@ -285,7 +290,7 @@ object Dedup {
                         text: String = "text"): DataFrame = {
     val cand = bandKeys(docs, n, numBands, seed, id, text)
       .join(broadcast(bandKeys(bench, n, numBands, seed, id, text)
-        .withColumnRenamed(id, "__bid")), Seq("band", "key"))
+        .withColumnRenamed(id, "__bid")), Seq("key"))
       .select(col(id), col("__bid")).distinct()
     val candIds = cand.select(col(id)).distinct()
     val docSets = wordShingles(docs.join(broadcast(candIds), Seq(id)),

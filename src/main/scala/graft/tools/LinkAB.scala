@@ -12,10 +12,11 @@ import org.apache.spark.sql.functions._
   *            census partitioned by the 3-part key with the pred
   *            string, scoring join keyed on (entityId, pred) with
   *            (pred, src, dst) candidate rows (inline replica);
-  *  - new   : what Linking ships after round 8 — pred folded into the
-  *            band-key hash (banded rows (entityId, band, key)),
-  *            census keyed (band, key), candidates (src, dst),
-  *            scoring join keyed on entityId alone.
+  *  - new   : what Linking ships after round 8 — pred AND band folded
+  *            into one 8-byte band-key hash (banded rows
+  *            (entityId, key)), census keyed on the single long,
+  *            candidates (src, dst), scoring join keyed on entityId
+  *            alone with SHUFFLE_HASH on the sets build side.
   * Both print their output pair count so set equality is visible.
   *
   * Usage: runMain graft.tools.LinkAB <runDir-with-entities> [reps]
@@ -117,8 +118,10 @@ object LinkAB {
         .cast("double") - inter
       val pairs = cand.select(col("src"), col("dst"))
       pairs
-        .join(sets.as("sa"), pairs("src") === col("sa.entityId"))
-        .join(sets.as("sb"), pairs("dst") === col("sb.entityId"))
+        .join(sets.as("sa").hint("SHUFFLE_HASH"),
+          pairs("src") === col("sa.entityId"))
+        .join(sets.as("sb").hint("SHUFFLE_HASH"),
+          pairs("dst") === col("sb.entityId"))
         .select(col("src"), col("dst"), (inter / uni).as("j"))
         .filter(col("j") >= cfg.threshold)
         .select(col("src"), col("dst")).distinct().count()
@@ -147,8 +150,10 @@ object LinkAB {
       val candN = Linking.lshCandidates(shingled, cfg, n)
         .select(col("src"), col("dst"))
       dump("kg_pipeline_link_after.txt", candN
-        .join(sets.as("sa"), candN("src") === col("sa.entityId"))
-        .join(sets.as("sb"), candN("dst") === col("sb.entityId"))
+        .join(sets.as("sa").hint("SHUFFLE_HASH"),
+          candN("src") === col("sa.entityId"))
+        .join(sets.as("sb").hint("SHUFFLE_HASH"),
+          candN("dst") === col("sb.entityId"))
         .select(col("src"), col("dst"), (interN / uniN).as("j"))
         .filter(col("j") >= cfg.threshold)
         .select(col("src"), col("dst")).distinct())
