@@ -121,6 +121,30 @@ object Pipeline {
       ccIterations: Int
   )
 
+
+  /** Run independent publish tasks concurrently and propagate the
+    * first failure only after every task finished or failed (no write
+    * still in flight when the caller sees the error). Shared by every
+    * concurrent-publish site: the tasks must touch DISJOINT stages,
+    * and crash semantics rely on each stage's own manifest being its
+    * commit record (any partially-published subset heals through the
+    * caller's resume/retry path).
+    */
+  private def parallelRun(tasks: Seq[() => Unit]): Unit = {
+    if (tasks.isEmpty) return
+    if (tasks.length == 1) return tasks.head()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(tasks.length)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val done = tasks.map(t => scala.concurrent.Future(t()))
+        .map(f => scala.util.Try(scala.concurrent.Await.result(
+          f, scala.concurrent.duration.Duration.Inf)))
+      done.collectFirst { case scala.util.Failure(e) => throw e }
+      (): Unit
+    } finally pool.shutdown()
+  }
+
   val Stages: Seq[String] =
     Seq("extract", "entities", "link_edges", "assign", "nodes", "edges")
 
@@ -132,9 +156,10 @@ object Pipeline {
   def assignCanonical(ents: DataFrame, links: DataFrame,
                       hotThreshold: Long = 100000L,
                       ccLocalThreshold: Long =
-                        ConnectedComponents.LocalEdgeThreshold): (DataFrame, Int) = {
+                        ConnectedComponents.LocalEdgeThreshold,
+                      edgeCountHint: Option[Long] = None): (DataFrame, Int) = {
     val cc = ConnectedComponents.run(links, hotThreshold,
-      localThreshold = ccLocalThreshold)
+      localThreshold = ccLocalThreshold, edgeCountHint = edgeCountHint)
     val assign = cc.assignments.withColumnRenamed("id", "entityId")
     val out = ents.join(assign, Seq("entityId"), "left")
       .select(col("pred"), col("obj"), col("norm"), col("entityId"),
@@ -378,30 +403,21 @@ object Pipeline {
     // publish disjoint stages — overlap the two publishes (same crash
     // contract as the other concurrent publishes: each stage's own
     // manifest is the commit record)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val done = Seq(
-        scala.concurrent.Future {
-          Snapshots.stage(spark, runDir, "ep_census", runId, resume = false,
-            metrics = Map("cap" -> cap.toString, "nEnts" -> nEnts.toString)) {
-            hot.toDF("pred", "sh")
-          }
-          (): Unit
-        },
-        scala.concurrent.Future {
-          Snapshots.stage(spark, runDir, "ep_keys", runId, resume = false,
-            metrics = Map("delta" -> "false")) {
-            Linking.bandedKeyTable(shingled, cfg.link, hot)
-          }
-          (): Unit
-        })
-        .map(f => scala.util.Try(scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf)))
-      done.collectFirst { case scala.util.Failure(e) => throw e }
-    } finally pool.shutdown()
-    (): Unit
+    parallelRun(Seq(
+      () => {
+        Snapshots.stage(spark, runDir, "ep_census", runId, resume = false,
+          metrics = Map("cap" -> cap.toString, "nEnts" -> nEnts.toString)) {
+          hot.toDF("pred", "sh")
+        }
+        (): Unit
+      },
+      () => {
+        Snapshots.stage(spark, runDir, "ep_keys", runId, resume = false,
+          metrics = Map("delta" -> "false")) {
+          Linking.bandedKeyTable(shingled, cfg.link, hot)
+        }
+        (): Unit
+      }))
   }
 
   /** The frozen census of the current epoch. An empty census (no
@@ -497,11 +513,7 @@ object Pipeline {
     // (the measured set is empty) — known for free from the slice's
     // manifest, so the measurement jobs are skipped outright instead
     // of aggregating empty frames
-    val deltaShRows = Snapshots.versions(runDir, "ep_shingles")
-      .flatMap { v =>
-        val m = Snapshots.readManifestVersion(runDir, "ep_shingles", v)
-        if (m.runId == runId) Some(m.rows) else None
-      }.sum
+    val deltaShRows = deltaRowsOf(runDir, "ep_shingles", runId)
     val drift =
       if (deltaShRows == 0L) 0.0
       else censusDrift(spark, runDir, cfg, hot, deltaShingled,
@@ -520,11 +532,7 @@ object Pipeline {
           "driftSec" -> f"$driftSec%.2f")) {
         Linking.bandedKeyTable(deltaShingled, cfg.link, hot)
       })
-    val deltaKeyRows = Snapshots.versions(runDir, "ep_keys")
-      .flatMap(v => {
-        val m = Snapshots.readManifestVersion(runDir, "ep_keys", v)
-        if (m.runId == runId) Some(m.rows) else None
-      }).sum
+    val deltaKeyRows = deltaRowsOf(runDir, "ep_keys", runId)
 
     // 4. new edges = delta-vs-all (exact-norm + banded fuzzy), each
     // pair carrying >=1 delta endpoint — disjoint from stored edges
@@ -536,11 +544,7 @@ object Pipeline {
           .unionByName(Linking.deltaFuzzyEdges(deltaKeys, keysAll,
             shingledAll, cfg.link, deltaKeyRows))
       })
-    val deltaLinkRows = Snapshots.versions(runDir, "link_edges")
-      .flatMap(v => {
-        val m = Snapshots.readManifestVersion(runDir, "link_edges", v)
-        if (m.runId == runId) Some(m.rows) else None
-      }).sum
+    val deltaLinkRows = deltaRowsOf(runDir, "link_edges", runId)
 
     // 5. canonicalize + materialize: O(delta) bucket patches when the
     // layout and bounds allow (see incrementalCanonicalize), else the
@@ -837,21 +841,10 @@ object Pipeline {
           app.filter(lit(false))
         } { app }
 
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        val done3 = Seq(
-          scala.concurrent.Future(
-            appendOnly("assign", Seq("ident", "cb"), assignApp)),
-          scala.concurrent.Future(
-            appendOnly("nodes", Seq("cb"), nodesApp)),
-          scala.concurrent.Future(
-            appendOnly("edges", Seq("cb"), edgesApp)))
-          .map(f => scala.util.Try(scala.concurrent.Await.result(
-            f, scala.concurrent.duration.Duration.Inf)))
-        done3.collectFirst { case scala.util.Failure(e) => throw e }
-      } finally pool.shutdown()
+      parallelRun(Seq(
+        () => appendOnly("assign", Seq("ident", "cb"), assignApp),
+        () => appendOnly("nodes", Seq("cb"), nodesApp),
+        () => appendOnly("edges", Seq("cb"), edgesApp)))
 
       // compressed single-hop: prior targets re-resolve through this
       // ingest's union-find, so a reader never follows a chain
@@ -994,18 +987,8 @@ object Pipeline {
     // global tail. Each future is awaited — a failure propagates
     // only after all three publishes finished or failed, so no write
     // is still in flight when the caller sees the error.
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val done3 = Seq(
-        scala.concurrent.Future(patchAssign()),
-        scala.concurrent.Future(patchNodes()),
-        scala.concurrent.Future(patchEdges()))
-        .map(f => scala.util.Try(scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf)))
-      done3.collectFirst { case scala.util.Failure(e) => throw e }
-    } finally pool.shutdown()
+    parallelRun(Seq(
+      () => patchAssign(), () => patchNodes(), () => patchEdges()))
     cfg.compactAppendFrac.foreach(compactTail(spark, runDir, runId, _))
     Some(0)
   }
@@ -1084,18 +1067,7 @@ object Pipeline {
           "appendSetsFolded" -> sets.toString))(shapes(st))
       (): Unit
     }
-    if (toFold.length <= 1) toFold.foreach(fold)
-    else {
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(toFold.length)
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutorService(pool)
-      try {
-        val done = toFold.map(st => scala.concurrent.Future(fold(st)))
-          .map(f => scala.util.Try(scala.concurrent.Await.result(
-            f, scala.concurrent.duration.Duration.Inf)))
-        done.collectFirst { case scala.util.Failure(e) => throw e }
-      } finally pool.shutdown()
-    }
+    parallelRun(toFold.map(st => () => fold(st)))
     if (dirty) {
       import spark.implicits._
       val logical = Snapshots.readManifest(runDir, CanonLogStage)
@@ -1269,6 +1241,18 @@ object Pipeline {
     if (!canonLogDirty(runDir)) raw
     else resolveCanon(spark, runDir, raw, bucketsOf(runDir, "edges"))
   }
+
+  /** Rows this runId appended to `stage` (0 when none): the sum over
+    * this runId's snapshot versions' manifest rows. Lineage folds
+    * publish under "<runId>-maint", so they can never be counted as an
+    * ingest's own delta.
+    */
+  private def deltaRowsOf(runDir: String, stage: String,
+                          runId: String): Long =
+    Snapshots.versions(runDir, stage).flatMap { v =>
+      val m = Snapshots.readManifestVersion(runDir, stage, v)
+      if (m.runId == runId) Some(m.rows) else None
+    }.sum
 
   /** Append a DELTA snapshot version, idempotent per runId: a
     * crash-retry that already published this ingest's slice reads it
@@ -1458,8 +1442,13 @@ object Pipeline {
     val assign = Snapshots.stage(spark, runDir, "assign", runId, resume,
       partitionBy = assignParts,
       metrics = Map("ccIterations" -> ccIters.toString) ++ cbMetrics) {
+      // exact edge count for free from the link_edges lineage
+      // manifests: CC's path decision then costs no count job and no
+      // raw-edge cache (see ConnectedComponents.run's edgeCountHint)
       val (a, iters) = assignCanonical(ents, links, cfg.hotThreshold,
-        cfg.ccLocalThreshold)
+        cfg.ccLocalThreshold,
+        edgeCountHint = Some(lineageVersions(runDir, "link_edges").map(v =>
+          Snapshots.readManifestVersion(runDir, "link_edges", v).rows).sum))
       ccIters = iters
       arranged(withCb(a.withColumn("ident", $"canonicalId" === $"entityId")),
         assignParts, Nil)
@@ -1523,17 +1512,7 @@ object Pipeline {
     // concurrently (same shape and crash contract as the tail-patch
     // parallel publish in incrementalCanonicalize: resume re-checks
     // each stage's own manifest, so any crashed subset heals)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
-    implicit val ec: scala.concurrent.ExecutionContext =
-      scala.concurrent.ExecutionContext.fromExecutorService(pool)
-    try {
-      val done2 = Seq(
-        scala.concurrent.Future(nodesStage()),
-        scala.concurrent.Future(edgesStage()))
-        .map(f => scala.util.Try(scala.concurrent.Await.result(
-          f, scala.concurrent.duration.Duration.Inf)))
-      done2.collectFirst { case scala.util.Failure(e) => throw e }
-    } finally pool.shutdown()
+    parallelRun(Seq(() => nodesStage(), () => edgesStage()))
 
     // the global tail recomputed everything from source, so any
     // deferred-merge canon log is now fully applied — clear it, or

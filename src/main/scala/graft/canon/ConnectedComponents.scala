@@ -46,34 +46,47 @@ object ConnectedComponents {
     * of many small components), and downstream joins build against
     * the smaller side.
     */
+  /** `edgeCountHint`: an exact-or-upper bound on the RAW edge count,
+    * when the caller already knows it (the Pipeline reads it off the
+    * link_edges snapshot manifests for free). With a hint the path
+    * decision costs NO job at all: a small graph goes straight to the
+    * driver union-find (which collects the raw edges once — it is
+    * duplicate-tolerant, so no distinct exchange either), and a large
+    * graph goes straight to the iterative path without the
+    * persist+count detour. Without a hint, the raw set is cached and
+    * counted (one evaluation of the upstream, often a full
+    * banding+scoring subtree, shared between the count and whichever
+    * path consumes it). Raw ≥ distinct count, so the threshold
+    * decision is conservative either way: a duplicate-heavy edge set
+    * falls to the distributed path, never the reverse.
+    */
   def run(edges0: DataFrame, hotThreshold: Long = 100000L,
           maxIter: Int = 50, checkpointEvery: Int = 3,
-          localThreshold: Long = LocalEdgeThreshold): Result = {
+          localThreshold: Long = LocalEdgeThreshold,
+          edgeCountHint: Option[Long] = None): Result = {
     val spark = edges0.sparkSession
 
-    // cache the RAW edges and decide the path on their count: the
-    // union-find is duplicate-tolerant, so the local path skips the
-    // distinct exchange the iterative path needs (one shuffle ahead
-    // of EVERY small-graph canonicalization — the common case for the
-    // gate corpora and the bench pipeline). The persist keeps the
-    // upstream (often a full banding+scoring subtree) evaluated ONCE
-    // across the count and the collect. Raw ≥ distinct count, so the
-    // threshold decision is conservative: a duplicate-heavy edge set
-    // falls to the distributed path, never the reverse.
-    val raw = edges0.select(col("src").cast("long"), col("dst").cast("long"))
+    val raw0 = edges0.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src") =!= col("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    if (raw.count() <= localThreshold) {
-      val result = runLocal(raw)
-      raw.unpersist(false)
-      return result
+    val raw = edgeCountHint match {
+      case Some(n) =>
+        if (n <= localThreshold) return runLocal(raw0)
+        raw0 // large by hint: no cache, the distinct below evaluates once
+      case None =>
+        val cached = raw0.persist(StorageLevel.MEMORY_AND_DISK)
+        if (cached.count() <= localThreshold) {
+          val result = runLocal(cached)
+          cached.unpersist(false)
+          return result
+        }
+        cached
     }
 
     var e = raw.distinct().persist(StorageLevel.MEMORY_AND_DISK)
     var prevSig = signature(e)
     var edgeCount = prevSig._1
-    // e is materialized by the signature scan; the raw cache has no
-    // further consumer
+    // e is materialized by the signature scan; a raw cache (hint-less
+    // path) has no further consumer
     raw.unpersist(false)
     var iter = 0
     var converged = false

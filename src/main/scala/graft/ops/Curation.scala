@@ -47,22 +47,37 @@ object Curation {
     * lambda binding is a runtime value; the optimizer cannot
     * duplicate it. Output = (id, stratum, text, n_tokens).
     */
+  /** The exact-dedup ranking window of stage 1 — ONE definition shared
+    * by [[cleanStage]] (production path) and [[funnel]] (its
+    * observability view), so the two can never silently diverge.
+    */
+  private def dedupWindow(id: String, text: String)
+  : org.apache.spark.sql.expressions.WindowSpec =
+    org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col(text))).orderBy(col(id))
+
+  /** The Gopher repetition keep-predicate of stage 2, let-bound (see
+    * the alias-inlining note on [[cleanStage]]) — shared by
+    * [[cleanStage]] and [[funnel]] for the same no-drift reason.
+    */
+  private def repetitionKeep(maxTopWordFrac: Double,
+                             maxDup2GramFrac: Double,
+                             text: String): Column =
+    element_at(
+      transform(array(TextOps.words(col(text))), ws => {
+        val (topFrac, dup2) = TextOps.repetitionMetrics(ws)
+        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
+      }), 1)
+
   private[ops] def cleanStage(corpus: DataFrame,
                               maxTopWordFrac: Double,
                               maxDup2GramFrac: Double,
                               id: String, text: String,
                               strata: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byFp = Window.partitionBy(md5(col(text))).orderBy(col(id))
     val deduped = corpus
-      .withColumn("__rn", row_number().over(byFp))
+      .withColumn("__rn", row_number().over(dedupWindow(id, text)))
       .filter(col("__rn") === 1).drop("__rn")
-    val keepExpr = element_at(
-      transform(array(TextOps.words(col(text))), ws => {
-        val (topFrac, dup2) = TextOps.repetitionMetrics(ws)
-        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
-      }), 1)
-    deduped.filter(keepExpr)
+    deduped.filter(repetitionKeep(maxTopWordFrac, maxDup2GramFrac, text))
       .select(col(id), col(strata), col(text),
         size(TextOps.words(col(text))).cast("long").as("n_tokens"))
   }
@@ -241,21 +256,13 @@ object Curation {
              id: String = "doc_id",
              text: String = "text",
              strata: String = "source"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val corpus = docs.filter(!benchFilter)
-    val byFp = Window.partitionBy(md5(col(text))).orderBy(col(id))
-    // same let-bound repetition predicate as cleanStage (see the
-    // alias-inlining note there)
-    val keepExpr = element_at(
-      transform(array(TextOps.words(col(text))), ws => {
-        val (topFrac, dup2) = TextOps.repetitionMetrics(ws)
-        topFrac <= maxTopWordFrac && dup2 <= maxDup2GramFrac
-      }), 1)
+    val keepExpr = repetitionKeep(maxTopWordFrac, maxDup2GramFrac, text)
     val flagged = Dedup.contaminated(corpus, docs.filter(benchFilter),
         n = contamN, minOverlap = contamMinOverlap, id = id, text = text)
       .select(col(id), lit(true).as("__flag"))
     val marked = corpus
-      .withColumn("__rn", row_number().over(byFp))
+      .withColumn("__rn", row_number().over(dedupWindow(id, text)))
       .join(flagged, Seq(id), "left")
       .select(
         (col("__rn") === 1 && keepExpr).as("__clean"),

@@ -37,8 +37,9 @@ object ExplainDump {
     val names = if (args.length > 2) args.drop(2).toSeq
       else graft.SparkEntry.queries.keys.toSeq.sorted
     names.foreach { name =>
-      val fn = graft.SparkEntry.queries(name)
       try {
+        val fn = graft.SparkEntry.queries.getOrElse(name,
+          sys.error(s"unknown query '$name'"))
         val df = fn(spark, sfDir)
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
