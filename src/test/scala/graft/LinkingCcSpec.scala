@@ -229,4 +229,26 @@ class LinkingCcSpec extends SparkSpec {
       assert(one == Map(5L -> 2L))
     }
   }
+
+  test("CC r8: edgeCountHint paths and duplicate/reversed edges give identical assignments") {
+    import graft.canon.ConnectedComponents
+    // duplicates + a reversed edge: the round-8 fast path feeds the
+    // union-find RAW edges (no distinct), so tolerance is load-bearing
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 2L), (2L, 1L), (9L, 8L))
+      .toDF("src", "dst")
+    val expected = Set((2L, 1L), (3L, 1L), (9L, 8L))
+    def assigns(r: ConnectedComponents.Result): Set[(Long, Long)] =
+      r.assignments.as[(Long, Long)].collect().toSet
+    // hint-less (cached count) local path
+    assert(assigns(ConnectedComponents.run(edges)) == expected)
+    // hinted small: straight to the union-find, zero decision jobs
+    assert(assigns(ConnectedComponents.run(edges,
+      edgeCountHint = Some(5L))) == expected)
+    // hinted large + localThreshold 0: the distributed star fixpoint
+    val ck = java.nio.file.Files.createTempDirectory("cc-ck").toString
+    spark.sparkContext.setCheckpointDir(ck)
+    try assert(assigns(ConnectedComponents.run(edges,
+      localThreshold = 0L, edgeCountHint = Some(5L))) == expected)
+    finally graft.store.Snapshots.deleteDir(ck)
+  }
 }

@@ -800,4 +800,47 @@ class OpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
   }
+
+  test("funnel (one-pass, r8) counts equal an independently staged evaluation") {
+    // the round-8 funnel computes all four stage counts in ONE pass
+    // with survival flags; pin it against a fully STAGED evaluation
+    // assembled from the independent public operators (exact-dedup
+    // survivors ∩ repetition keep → minus contaminated → hash sample)
+    import graft.ops.{Curation, Sampling, TextOps}
+    val benchFilter = col("doc_id") % 50 === 0
+    val rates = Map("src0" -> 0.3, "src1" -> 1.0)
+    val corpus = docs.filter(!benchFilter)
+    val benchD = docs.filter(benchFilter)
+
+    val got = Curation.funnel(docs, benchFilter, rates, defaultRate = 0.5)
+      .as[(String, Long)].collect().toMap
+
+    val n1 = corpus.count()
+    // stage 2: exact-dedup survivor (min id per md5(text)) AND the
+    // Gopher repetition keep — same rules cleanStage applies
+    val survivors = Dedup.exactSurvivors(corpus).as[Long].collect().toSet
+    val keep = TextOps.repetitionScore(corpus).filter(col("keep"))
+      .select("doc_id").as[Long].collect().toSet
+    val cleanIds = survivors intersect keep
+    val n2 = cleanIds.size.toLong
+    // stage 3: contamination flagged among the clean survivors
+    val cleanDocs = corpus.filter(col("doc_id")
+      .isin(cleanIds.toSeq.map(java.lang.Long.valueOf): _*))
+    val flagged = Dedup.contaminated(cleanDocs, benchD, n = 3,
+      minOverlap = 5L).select("doc_id").as[Long].collect().toSet
+    val deconIds = cleanIds -- flagged
+    val n3 = deconIds.size.toLong
+    // stage 4: the deterministic hash sampler over the survivors
+    val n4 = Sampling.stratifiedSample(
+      cleanDocs.filter(col("doc_id")
+        .isin(deconIds.toSeq.map(java.lang.Long.valueOf): _*)),
+      col("doc_id"), col("source"), rates, defaultRate = 0.5).count()
+
+    assert(got == Map("1_corpus" -> n1, "2_clean" -> n2,
+      "3_decontaminated" -> n3, "4_sampled" -> n4),
+      s"funnel=$got staged=${Map("1_corpus" -> n1, "2_clean" -> n2,
+        "3_decontaminated" -> n3, "4_sampled" -> n4)}")
+    assert(n1 > n2 && n2 >= n3 && n3 >= n4 && n4 > 0,
+      "degenerate funnel — the staged oracle saw no filtering")
+  }
 }
